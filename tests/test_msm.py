@@ -1,0 +1,33 @@
+"""Pippenger MSM vs host oracle."""
+import secrets
+
+from webauthn_halo2_tpu.fields.constants import BN254_FR
+from webauthn_halo2_tpu.fields.ref_curve import BN254_G1_CURVE
+from webauthn_halo2_tpu.ops import ec as E
+from webauthn_halo2_tpu.ops.msm import msm_host
+
+
+def oracle_msm(pts, ks):
+    acc = None
+    for p, k in zip(pts, ks):
+        acc = BN254_G1_CURVE.add(acc, BN254_G1_CURVE.mul(k, p))
+    return acc
+
+
+def test_msm_small():
+    n = 32
+    pts = [BN254_G1_CURVE.random_point() for _ in range(n)]
+    ks = [secrets.randbelow(BN254_FR) for _ in range(n)]
+    # include edge scalars
+    ks[0], ks[1], ks[2] = 0, 1, BN254_FR - 1
+    got = msm_host(E.BN254_CURVE, pts, ks, c=8)
+    assert got == oracle_msm(pts, ks)
+
+
+def test_msm_duplicate_points():
+    # duplicated points land in the same bucket -> exercises the complete add
+    p = BN254_G1_CURVE.random_point()
+    pts = [p] * 8
+    ks = [3] * 8
+    got = msm_host(E.BN254_CURVE, pts, ks, c=4)
+    assert got == BN254_G1_CURVE.mul(24, p)

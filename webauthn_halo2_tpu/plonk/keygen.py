@@ -1,0 +1,211 @@
+"""Key generation: vk/pk from a constraint system + fixed assignment.
+
+The keygen_vk/keygen_pk equivalent (call stack SURVEY §3.1). Produces:
+  * vk: fixed-column and permutation-sigma commitments + a transcript
+    digest binding the whole circuit description;
+  * pk: device-resident polynomial tensors in all three bases, the
+    permutation sigma/identity tables, and the Lagrange-indicator
+    polynomials (l_0, l_last, l_blind) on the extended coset.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.constants import BN254_FR, BN254_FR_DELTA
+from ..fields.limbs import FR_SPEC, ints_to_limbs_fast
+from ..ops import ec as E
+from ..ops import modops as M
+from ..ops.msm import msm
+from . import cs as CS
+from .domain import Domain
+from .srs import SRS
+from .transcript import compress_g1
+
+R = BN254_FR
+DELTA = BN254_FR_DELTA
+
+
+def encode_column(vals: list[int]) -> jnp.ndarray:
+    """Host int column -> (L, n) device Montgomery tensor."""
+    std = jnp.asarray(ints_to_limbs_fast([v % R for v in vals]))
+    return M.to_mont(FR_SPEC, std)
+
+
+def commit_lagrange(srs: SRS, col_mont: jnp.ndarray):
+    """KZG commit of a Lagrange-basis column -> affine int point."""
+    res = msm(E.BN254_CURVE, srs.g_lag, col_mont)
+    return E.to_affine_ints(E.BN254_CURVE, res)[0]
+
+
+def commit_coeff(srs: SRS, coeffs_mont: jnp.ndarray):
+    res = msm(E.BN254_CURVE, srs.g_mono, coeffs_mont)
+    return E.to_affine_ints(E.BN254_CURVE, res)[0]
+
+
+@dataclass
+class VerifyingKey:
+    domain: Domain
+    cs: CS.ConstraintSystem
+    fixed_commitments: list
+    perm_commitments: list
+    transcript_repr: int
+    # host copies needed by the verifier
+    fixed_values: None = None  # verifier recomputes nothing; evals come in proof
+
+    def hash_into(self, transcript) -> None:
+        transcript.common_scalar(self.transcript_repr)
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    srs: SRS
+    # (num_fixed, L, n) stacks
+    fixed_lagrange: list
+    fixed_coeff: list
+    fixed_ext: list
+    # permutation data (one entry per perm column)
+    sigma_values: list  # host ints (n,) per column: sigma label values
+    sigma_lagrange: list
+    sigma_coeff: list
+    sigma_ext: list
+    id_values: list  # host ints (n,): delta^j * omega^i labels
+    # indicator polys on extended coset
+    l0_ext: jnp.ndarray
+    llast_ext: jnp.ndarray
+    lblind_ext: jnp.ndarray
+    # coset point tensor X on extended domain, and omega powers on H
+    x_ext: jnp.ndarray
+    omega_pows_np: np.ndarray  # (n,) host ints
+
+
+def _domain_for(cs: CS.ConstraintSystem, k: int) -> Domain:
+    d = cs.degree()
+    ext = 0
+    while (1 << ext) < d - 1:
+        ext += 1
+    return Domain(k, k + ext)
+
+
+def assemble_permutation(cs: CS.ConstraintSystem, n: int, copies: list):
+    """Cycle-build sigma: start from identity, swap targets per copy pair.
+
+    copies: [((kind, index, row), (kind, index, row)), ...] where each
+    (kind,index) must be in cs.perm_columns.
+    Returns sigma as (num_cols, n) array of (col, row) targets.
+    """
+    col_pos = {c: i for i, c in enumerate(cs.perm_columns)}
+    ncols = len(cs.perm_columns)
+    mapping = np.empty((ncols, n, 2), dtype=np.int64)
+    for j in range(ncols):
+        mapping[j, :, 0] = j
+        mapping[j, :, 1] = np.arange(n)
+    for (ka, ia, ra), (kb, ib, rb) in copies:
+        a = (col_pos[(ka, ia)], ra)
+        b = (col_pos[(kb, ib)], rb)
+        tmp = mapping[a[0], a[1]].copy()
+        mapping[a[0], a[1]] = mapping[b[0], b[1]]
+        mapping[b[0], b[1]] = tmp
+    return mapping
+
+
+def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
+           ) -> ProvingKey:
+    k = srs.k
+    n = 1 << k
+    domain = _domain_for(cs, k)
+    assert len(fixed_cols) == cs.num_fixed
+
+    # --- fixed columns ---
+    fixed_lagrange, fixed_coeff, fixed_ext, fixed_comms = [], [], [], []
+    for col in fixed_cols:
+        vals = list(col) + [0] * (n - len(col))
+        lag = encode_column(vals)
+        coeff = domain.lagrange_to_coeff(lag)
+        fixed_lagrange.append(lag)
+        fixed_coeff.append(coeff)
+        fixed_ext.append(domain.coeff_to_extended(coeff))
+        fixed_comms.append(commit_lagrange(srs, lag))
+
+    # --- permutation sigmas ---
+    omega = domain.omega
+    omega_pows = np.empty(n, dtype=object)
+    acc = 1
+    for i in range(n):
+        omega_pows[i] = acc
+        acc = acc * omega % R
+    deltas = [pow(DELTA, j, R) for j in range(len(cs.perm_columns))]
+
+    mapping = assemble_permutation(cs, n, copies)
+    sigma_values, sigma_lagrange, sigma_coeff, sigma_ext = [], [], [], []
+    id_values = []
+    perm_comms = []
+    for j in range(len(cs.perm_columns)):
+        ids = [deltas[j] * int(omega_pows[i]) % R for i in range(n)]
+        id_values.append(ids)
+        tgt = mapping[j]
+        sig = [
+            deltas[int(tc)] * int(omega_pows[int(tr)]) % R for tc, tr in tgt
+        ]
+        sigma_values.append(sig)
+        lag = encode_column(sig)
+        coeff = domain.lagrange_to_coeff(lag)
+        sigma_lagrange.append(lag)
+        sigma_coeff.append(coeff)
+        sigma_ext.append(domain.coeff_to_extended(coeff))
+        perm_comms.append(commit_lagrange(srs, lag))
+
+    # --- indicator polynomials ---
+    u = cs.usable_rows(n) - 1  # the "last" active row
+    l0 = [0] * n
+    l0[0] = 1
+    llast = [0] * n
+    llast[u] = 1
+    lblind = [0] * n
+    for i in range(u + 1, n):
+        lblind[i] = 1
+    l0_ext = domain.coeff_to_extended(domain.lagrange_to_coeff(encode_column(l0)))
+    llast_ext = domain.coeff_to_extended(
+        domain.lagrange_to_coeff(encode_column(llast))
+    )
+    lblind_ext = domain.coeff_to_extended(
+        domain.lagrange_to_coeff(encode_column(lblind))
+    )
+
+    # --- coset points X on extended domain ---
+    from .domain import COSET_GEN
+
+    ext_n = domain.ext_n
+    wext = domain.omega_ext
+    xs = [0] * ext_n
+    accx = COSET_GEN
+    for i in range(ext_n):
+        xs[i] = accx
+        accx = accx * wext % R
+    x_ext = encode_column(xs)
+
+    # --- vk digest ---
+    h = hashlib.blake2b(digest_size=64, person=b"WH2-TPU-vk-digest")
+    h.update(k.to_bytes(4, "little"))
+    h.update(domain.extended_k.to_bytes(4, "little"))
+    h.update(repr(
+        (cs.num_fixed, cs.num_advice, cs.num_instance,
+         [(nm, str(g)) for nm, g in cs.gates],
+         [(lk.name, [str(e) for e in lk.inputs], [str(e) for e in lk.tables])
+          for lk in cs.lookups],
+         cs.perm_columns)
+    ).encode())
+    for c in fixed_comms + perm_comms:
+        h.update(compress_g1(c))
+    repr_int = int.from_bytes(h.digest(), "little") % R
+
+    vk = VerifyingKey(domain, cs, fixed_comms, perm_comms, repr_int)
+    return ProvingKey(
+        vk, srs, fixed_lagrange, fixed_coeff, fixed_ext,
+        sigma_values, sigma_lagrange, sigma_coeff, sigma_ext, id_values,
+        l0_ext, llast_ext, lblind_ext, x_ext, omega_pows,
+    )

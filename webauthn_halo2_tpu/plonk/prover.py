@@ -1,0 +1,611 @@
+"""The PLONKish prover: create_proof (KZG + SHPLONK + Blake2b transcript).
+
+TPU-native replacement for `halo2_proofs::plonk::create_proof`
+(reference hot path, SURVEY §3.2). Protocol phases follow the PSE halo2
+structure: advice commits -> theta -> lookup permuted commits ->
+beta/gamma -> permutation & lookup grand products -> vanishing random poly
+-> y -> quotient pieces -> x -> evaluations -> SHPLONK multiopen (v/y
+challenges, H commitment, u challenge, final witness W).
+
+All polynomial arithmetic runs on device over (L, n) Montgomery limb
+tensors; the transcript, the lookup permuted-pair construction, and the
+tiny interpolations are host-side.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.constants import BN254_FR, BN254_FR_DELTA
+from ..fields.limbs import FR_SPEC, ints_to_limbs_fast, limbs_to_ints_fast
+from ..ops import ec as E
+from ..ops import modops as M
+from ..ops import poly as P
+from ..ops.msm import msm
+from . import cs as CS
+from .domain import COSET_GEN, Domain
+from .keygen import ProvingKey, commit_coeff, commit_lagrange, encode_column
+from .transcript import Blake2bWrite
+
+R = BN254_FR
+SPEC = FR_SPEC
+
+
+def _rand_field(rng) -> int:
+    return int.from_bytes(rng(32), "little") % R
+
+
+def decode_column(col_mont: jnp.ndarray) -> list[int]:
+    """Device Montgomery tensor -> host canonical ints."""
+    std = M.normalize(SPEC, M.from_mont(SPEC, col_mont))
+    return limbs_to_ints_fast(np.asarray(std))
+
+
+def _mont_const(v: int) -> jnp.ndarray:
+    return jnp.asarray(SPEC.encode([v]), dtype=jnp.int32)  # (L, 1)
+
+
+def _eval_to_int(t: jnp.ndarray) -> int:
+    return SPEC.decode(np.asarray(t.reshape(33, -1)[:, :1]))[0]
+
+
+@dataclass
+class _Queries:
+    """Accumulates (coeff_poly, commitment_label, rotation, eval) opens."""
+
+    def __init__(self):
+        self.items = []  # (coeffs (L,n), rot:int, eval:int)
+
+    def add(self, coeffs, rot, ev):
+        self.items.append((coeffs, rot, ev))
+
+
+def create_proof(
+    pk: ProvingKey,
+    advice_values: list,  # per advice column: list[int] of len <= usable rows
+    instances: list,  # per instance column: list[int]
+    lookup_fill: list | None = None,  # per lookup: default table fill value
+    rng=os.urandom,
+) -> bytes:
+    cs = pk.vk.cs
+    domain: Domain = pk.vk.domain
+    n = domain.n
+    ext_n = domain.ext_n
+    ratio = ext_n // n
+    usable = cs.usable_rows(n)
+    u = usable - 1
+    omega = domain.omega
+    t = Blake2bWrite()
+    pk.vk.hash_into(t)
+
+    # --- instances (absorbed as scalars; none in the ECDSA circuit) ---
+    instance_lag = []
+    for col in instances:
+        vals = [v % R for v in col] + [0] * (n - len(col))
+        for v in vals[: len(col)]:
+            t.common_scalar(v)
+        instance_lag.append(encode_column(vals))
+
+    # --- phase 1: advice commitments ---
+    advice_lag = []
+    for col in advice_values:
+        vals = [v % R for v in col] + [0] * (usable - len(col))
+        vals += [_rand_field(rng) for _ in range(n - usable)]  # blinding rows
+        lag = encode_column(vals)
+        advice_lag.append(lag)
+        t.write_point(commit_lagrange(pk.srs, lag))
+
+    theta = t.squeeze_challenge()
+
+    # --- phase 2: lookup permuted columns ---
+    def col_getter_lag(kind, idx, rot):
+        src = {
+            CS.FIXED: pk.fixed_lagrange,
+            CS.ADVICE: advice_lag,
+            CS.INSTANCE: instance_lag,
+        }[kind][idx]
+        return jnp.roll(src, -rot, axis=1) if rot else src
+
+    lookups = []  # dicts with device tensors
+    for lk in cs.lookups:
+        comp_in = _compress(lk.inputs, col_getter_lag, theta)
+        comp_tab = _compress(lk.tables, col_getter_lag, theta)
+        a_vals = decode_column(comp_in)
+        s_vals = decode_column(comp_tab)
+        a_p, s_p = _permute_lookup_pair(a_vals[:usable], s_vals[:usable])
+        # blind the tails
+        a_p += [_rand_field(rng) for _ in range(n - usable)]
+        s_p += [_rand_field(rng) for _ in range(n - usable)]
+        a_p_lag = encode_column(a_p)
+        s_p_lag = encode_column(s_p)
+        t.write_point(commit_lagrange(pk.srs, a_p_lag))
+        t.write_point(commit_lagrange(pk.srs, s_p_lag))
+        lookups.append(
+            dict(comp_in=comp_in, comp_tab=comp_tab, a_p=a_p_lag, s_p=s_p_lag)
+        )
+
+    beta = t.squeeze_challenge()
+    gamma = t.squeeze_challenge()
+    beta_t = _mont_const(beta)
+    gamma_t = _mont_const(gamma)
+
+    # --- phase 3: permutation grand products (chunked) ---
+    chunk_len = cs.permutation_chunk_len()
+    perm_cols = cs.perm_columns
+    perm_zs = []
+    carry_in = 1  # z chains across chunks
+    omega_pows_mont = jnp.asarray(
+        SPEC.encode([int(v) for v in pk.omega_pows_np])
+    )
+    for cstart in range(0, len(perm_cols), chunk_len):
+        chunk = list(range(cstart, min(cstart + chunk_len, len(perm_cols))))
+        num = None
+        den = None
+        for j in chunk:
+            kind, idx = perm_cols[j]
+            vcol = col_getter_lag(kind, idx, 0)
+            delta_j = pow(BN254_FR_DELTA, j, R)
+            idv = M.montmul(SPEC, _mont_const(delta_j), omega_pows_mont)
+            sig = jnp.asarray(SPEC.encode(pk.sigma_values[j]))
+            nterm = M.add(SPEC, M.add(SPEC, vcol, M.montmul(SPEC, beta_t, idv)), gamma_t)
+            dterm = M.add(SPEC, M.add(SPEC, vcol, M.montmul(SPEC, beta_t, sig)), gamma_t)
+            num = nterm if num is None else M.montmul(SPEC, num, nterm)
+            den = dterm if den is None else M.montmul(SPEC, den, dterm)
+        z = _grand_product(num, den, usable, carry_in, rng)
+        carry_in = decode_column(z)[u]
+        perm_zs.append(z)
+        t.write_point(commit_lagrange(pk.srs, z))
+
+    # --- phase 4: lookup grand products ---
+    for lkd in lookups:
+        a_beta = M.add(SPEC, lkd["comp_in"], beta_t)
+        s_gamma = M.add(SPEC, lkd["comp_tab"], gamma_t)
+        ap_beta = M.add(SPEC, lkd["a_p"], beta_t)
+        sp_gamma = M.add(SPEC, lkd["s_p"], gamma_t)
+        num = M.montmul(SPEC, a_beta, s_gamma)
+        den = M.montmul(SPEC, ap_beta, sp_gamma)
+        z = _grand_product(num, den, usable, 1, rng)
+        lkd["z"] = z
+        t.write_point(commit_lagrange(pk.srs, z))
+
+    # --- phase 5: vanishing random polynomial ---
+    rand_vals = [_rand_field(rng) for _ in range(n)]
+    random_lag = encode_column(rand_vals)
+    random_coeff = domain.lagrange_to_coeff(random_lag)
+    t.write_point(commit_lagrange(pk.srs, random_lag))
+
+    y = t.squeeze_challenge()
+
+    # --- phase 6: quotient ---
+    advice_coeff = [domain.lagrange_to_coeff(a) for a in advice_lag]
+    advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
+    instance_coeff = [domain.lagrange_to_coeff(a) for a in instance_lag]
+    instance_ext = [domain.coeff_to_extended(a) for a in instance_coeff]
+    perm_z_coeff = [domain.lagrange_to_coeff(z) for z in perm_zs]
+    perm_z_ext = [domain.coeff_to_extended(z) for z in perm_z_coeff]
+    for lkd in lookups:
+        lkd["z_coeff"] = domain.lagrange_to_coeff(lkd["z"])
+        lkd["z_ext"] = domain.coeff_to_extended(lkd["z_coeff"])
+        lkd["a_p_coeff"] = domain.lagrange_to_coeff(lkd["a_p"])
+        lkd["a_p_ext"] = domain.coeff_to_extended(lkd["a_p_coeff"])
+        lkd["s_p_coeff"] = domain.lagrange_to_coeff(lkd["s_p"])
+        lkd["s_p_ext"] = domain.coeff_to_extended(lkd["s_p_coeff"])
+        lkd["in_ext"] = domain.coeff_to_extended(
+            domain.lagrange_to_coeff(lkd["comp_in"])
+        )
+        lkd["tab_ext"] = domain.coeff_to_extended(
+            domain.lagrange_to_coeff(lkd["comp_tab"])
+        )
+
+    def col_getter_ext(kind, idx, rot):
+        src = {
+            CS.FIXED: pk.fixed_ext,
+            CS.ADVICE: advice_ext,
+            CS.INSTANCE: instance_ext,
+        }[kind][idx]
+        return jnp.roll(src, -rot * ratio, axis=1) if rot else src
+
+    def rot_ext(tensor, rot):
+        return jnp.roll(tensor, -rot * ratio, axis=1)
+
+    one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
+    active = M.sub(SPEC, one_t, M.add(SPEC, pk.llast_ext, pk.lblind_ext))
+
+    constraints = []
+    # (a) gates
+    for _, g in cs.gates:
+        constraints.append(CS.eval_device(g, col_getter_ext))
+    # (b) permutation
+    if perm_cols:
+        # l_0 * (1 - z_0)
+        constraints.append(
+            M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, one_t, perm_z_ext[0]))
+        )
+        # l_last * (z_last^2 - z_last)
+        zl = perm_z_ext[-1]
+        constraints.append(
+            M.montmul(SPEC, pk.llast_ext, M.sub(SPEC, M.montsquare(SPEC, zl), zl))
+        )
+        # l_0 * (z_i - z_{i-1}(w^u X)) for i > 0
+        for i in range(1, len(perm_z_ext)):
+            constraints.append(
+                M.montmul(
+                    SPEC,
+                    pk.l0_ext,
+                    M.sub(SPEC, perm_z_ext[i], rot_ext(perm_z_ext[i - 1], u)),
+                )
+            )
+        # product rules
+        for ci, cstart in enumerate(range(0, len(perm_cols), chunk_len)):
+            chunk = list(range(cstart, min(cstart + chunk_len, len(perm_cols))))
+            left = rot_ext(perm_z_ext[ci], 1)
+            right = perm_z_ext[ci]
+            for j in chunk:
+                kind, idx = perm_cols[j]
+                v = col_getter_ext(kind, idx, 0)
+                delta_j = pow(BN254_FR_DELTA, j, R)
+                idv = M.montmul(
+                    SPEC, _mont_const(delta_j * 1 % R), pk.x_ext
+                )
+                left = M.montmul(
+                    SPEC,
+                    left,
+                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, pk.sigma_ext[j])), gamma_t),
+                )
+                right = M.montmul(
+                    SPEC,
+                    right,
+                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, idv)), gamma_t),
+                )
+            constraints.append(M.montmul(SPEC, active, M.sub(SPEC, left, right)))
+    # (c) lookups
+    for lkd in lookups:
+        z_e = lkd["z_ext"]
+        z_n = rot_ext(z_e, 1)
+        ap = lkd["a_p_ext"]
+        sp = lkd["s_p_ext"]
+        ap_prev = rot_ext(ap, -1)
+        constraints.append(M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, one_t, z_e)))
+        constraints.append(
+            M.montmul(SPEC, pk.llast_ext, M.sub(SPEC, M.montsquare(SPEC, z_e), z_e))
+        )
+        lhs = M.montmul(
+            SPEC, z_n, M.montmul(SPEC, M.add(SPEC, ap, beta_t), M.add(SPEC, sp, gamma_t))
+        )
+        rhs = M.montmul(
+            SPEC,
+            z_e,
+            M.montmul(
+                SPEC,
+                M.add(SPEC, lkd["in_ext"], beta_t),
+                M.add(SPEC, lkd["tab_ext"], gamma_t),
+            ),
+        )
+        constraints.append(M.montmul(SPEC, active, M.sub(SPEC, lhs, rhs)))
+        constraints.append(
+            M.montmul(
+                SPEC,
+                active,
+                M.montmul(SPEC, M.sub(SPEC, ap, sp), M.sub(SPEC, ap, ap_prev)),
+            )
+        )
+        constraints.append(M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, ap, sp)))
+
+    # combine with powers of y (Horner) and divide by Z_H
+    y_t = _mont_const(y)
+    h_ext = constraints[0]
+    for c in constraints[1:]:
+        h_ext = M.add(SPEC, M.montmul(SPEC, h_ext, y_t), c)
+    h_ext = domain.divide_by_vanishing(h_ext)
+    h_coeff = domain.extended_to_coeff(h_ext)
+
+    # split into ext_n/n pieces of n coefficients; commit each
+    h_pieces = [h_coeff[:, i * n : (i + 1) * n] for i in range(ratio)]
+    for piece in h_pieces:
+        t.write_point(commit_coeff(pk.srs, piece))
+
+    x = t.squeeze_challenge()
+    x_t = _mont_const(x)
+    xpow = P.power_table(SPEC, x_t, n)
+
+    # --- phase 7: evaluations ---
+    queries = []  # (coeffs, rotation, eval_int) in multiopen order
+
+    _pow_cache = {0: xpow}
+
+    def open_at(coeffs, rot, write=True):
+        point = x * pow(omega, rot, R) % R if rot >= 0 else (
+            x * pow(pow(omega, -rot, R), R - 2, R) % R
+        )
+        if rot not in _pow_cache:
+            _pow_cache[rot] = P.power_table(SPEC, _mont_const(point), n)
+        pt_pow = _pow_cache[rot]
+        ev = _eval_to_int(
+            M.from_mont(SPEC, P.eval_at(SPEC, coeffs, pt_pow))
+        )
+        queries.append((coeffs, rot, ev))
+        if write:
+            t.write_scalar(ev)
+        return ev
+
+    sq = cs.sorted_queries()
+    for idx, rot in sq[CS.ADVICE]:
+        open_at(advice_coeff[idx], rot)
+    for idx, rot in sq[CS.FIXED]:
+        open_at(pk.fixed_coeff[idx], rot)
+    for idx, rot in sq[CS.INSTANCE]:
+        open_at(instance_coeff[idx], rot)
+    open_at(random_coeff, 0)
+    for sc in pk.sigma_coeff:
+        open_at(sc, 0)
+    for i, zc in enumerate(perm_z_coeff):
+        open_at(zc, 0)
+        open_at(zc, 1)
+    for i in range(len(perm_z_coeff) - 1):
+        open_at(perm_z_coeff[i], u)
+    for lkd in lookups:
+        open_at(lkd["z_coeff"], 0)
+        open_at(lkd["z_coeff"], 1)
+        open_at(lkd["a_p_coeff"], 0)
+        open_at(lkd["a_p_coeff"], -1)
+        open_at(lkd["s_p_coeff"], 0)
+
+    # combined quotient poly sum_i x^{n i} h_i, opened at x (eval not written:
+    # the verifier recomputes the expected value from the other openings)
+    xn = pow(x, n, R)
+    h_combined = h_pieces[-1]
+    for piece in reversed(h_pieces[:-1]):
+        h_combined = M.add(
+            SPEC, M.montmul(SPEC, h_combined, _mont_const(xn)), piece
+        )
+    h_eval = _eval_to_int(M.from_mont(SPEC, P.eval_at(SPEC, h_combined, xpow)))
+    queries.append((h_combined, 0, h_eval))
+
+    # --- phase 8: SHPLONK multiopen ---
+    _shplonk_open(pk, t, queries, x, domain)
+    return t.finalize()
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _compress(exprs, getter, theta: int) -> jnp.ndarray:
+    acc = None
+    th = _mont_const(theta)
+    for e in exprs:
+        v = CS.eval_device(e, getter)
+        acc = v if acc is None else M.add(SPEC, M.montmul(SPEC, acc, th), v)
+    return acc
+
+
+def _permute_lookup_pair(a_vals: list[int], s_vals: list[int]):
+    """halo2 permute_expression_pair: sort input; build table permutation."""
+    a_sorted = sorted(a_vals)
+    from collections import Counter
+
+    leftover = Counter(s_vals)
+    s_perm = [None] * len(a_sorted)
+    for i, v in enumerate(a_sorted):
+        if i == 0 or v != a_sorted[i - 1]:
+            if leftover[v] == 0:
+                raise ValueError(f"lookup failure: input value {v} not in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+    fill = iter(sorted(leftover.elements()))
+    for i in range(len(s_perm)):
+        if s_perm[i] is None:
+            s_perm[i] = next(fill)
+    return a_sorted, s_perm
+
+
+def _grand_product(num, den, usable: int, carry_in: int, rng) -> jnp.ndarray:
+    """z[0] = carry_in; z[i+1] = z[i] * num[i]/den[i] on active rows."""
+    import functools
+    import jax
+
+    n = num.shape[1]
+    den_inv = M.batch_inverse(SPEC, den, axis=1)
+    ratio = M.montmul(SPEC, num, den_inv)
+    # force ratio = 1 outside active rows [0, usable-1)
+    one_b = jnp.broadcast_to(
+        jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1)), ratio.shape
+    )
+    mask = (jnp.arange(n) < usable - 1)[None, :]
+    ratio = jnp.where(mask, ratio, one_b)
+    incl = jax.lax.associative_scan(
+        functools.partial(M.montmul, SPEC), ratio, axis=1
+    )
+    z = jnp.concatenate([one_b[:, :1], incl[:, :-1]], axis=1)
+    z = M.montmul(SPEC, _mont_const(carry_in), z)
+    # blind tail rows (beyond usable)
+    tail = [int.from_bytes(rng(32), "little") % R for _ in range(n - usable)]
+    if tail:
+        tail_t = jnp.asarray(SPEC.encode(tail))
+        z = z.at[:, usable:].set(tail_t)
+    return z
+
+
+def _shplonk_open(pk: ProvingKey, t: Blake2bWrite, queries, x: int, domain: Domain):
+    """BDFG20 batch opening. queries: [(coeffs, rot, eval_int)]."""
+    n = domain.n
+    omega = domain.omega
+
+    def rot_point(rot: int) -> int:
+        if rot >= 0:
+            return x * pow(omega, rot, R) % R
+        return x * pow(pow(omega, -rot, R), R - 2, R) % R
+
+    # group queries by rotation set
+    by_poly = []  # (coeffs, {rot: eval})
+    seen = {}
+    for coeffs, rot, ev in queries:
+        key = id(coeffs)
+        if key not in seen:
+            seen[key] = len(by_poly)
+            by_poly.append((coeffs, {}))
+        by_poly[seen[key]][1][rot] = ev
+
+    sets: dict[tuple, list] = {}
+    for coeffs, rmap in by_poly:
+        rkey = tuple(sorted(rmap.keys()))
+        sets.setdefault(rkey, []).append((coeffs, rmap))
+
+    set_list = sorted(sets.items(), key=lambda kv: kv[0])
+    y_ch = t.squeeze_challenge()
+    v_ch = t.squeeze_challenge()
+    y_t = _mont_const(y_ch)
+    v_t = _mont_const(v_ch)
+
+    # per set: F_s = sum_j v^j f_j ; R_s = interpolation of combined evals
+    coset_pows = None
+    h_total = None  # evals on coset of size n
+    xs_coset = _coset_points_cached(domain.k)
+    set_data = []
+    for s_i, (rkey, polys) in enumerate(set_list):
+        F = None
+        for coeffs, _ in polys:
+            F = coeffs if F is None else M.add(SPEC, M.montmul(SPEC, F, v_t), coeffs)
+        # combined evals r_j at each point of the set (v-weighted, same order)
+        pts = [rot_point(r) for r in rkey]
+        evs = []
+        for pi, r in enumerate(rkey):
+            acc = 0
+            for coeffs, rmap in polys:
+                acc = (acc * v_ch + rmap[r]) % R
+            evs.append(acc)
+        r_poly = _interp(pts, evs)  # host coeffs, deg < len(pts)
+        set_data.append((rkey, F, pts, evs, r_poly))
+
+        # evaluate (F - R)/Z_s on the size-n coset
+        F_cos = _to_coset_evals(domain, F)
+        r_cos = _poly_eval_coset(domain, r_poly)
+        num = M.sub(SPEC, F_cos, r_cos)
+        zs_cos = _vanishing_coset(domain, pts)
+        num = M.montmul(SPEC, num, M.batch_inverse(SPEC, zs_cos, axis=1))
+        h_total = num if h_total is None else M.add(
+            SPEC, M.montmul(SPEC, h_total, y_t), num
+        )
+    # NOTE: Horner order means h_total = sum_s y^(S-1-s) * term_s; we use the
+    # same ordering below for L, so the two sides stay consistent.
+    h_coeff = _from_coset_evals(domain, h_total)
+    t.write_point(commit_coeff(pk.srs, h_coeff))
+
+    u_ch = t.squeeze_challenge()
+
+    # L(X) = sum_s y^pow * (Z_T(u)/Z_s(u)) (F_s(X) - R_s(u)) - Z_T(u) H(X)
+    all_pts = sorted({p for _, _, pts, _, _ in set_data for p in pts})
+    z_t_u = 1
+    for p_ in all_pts:
+        z_t_u = z_t_u * (u_ch - p_) % R
+    L_poly = None
+    for s_i, (rkey, F, pts, evs, r_poly) in enumerate(set_data):
+        z_s_u = 1
+        for p_ in pts:
+            z_s_u = z_s_u * (u_ch - p_) % R
+        scale = z_t_u * pow(z_s_u, R - 2, R) % R
+        r_u = 0
+        for c in reversed(r_poly):
+            r_u = (r_u * u_ch + c) % R
+        term = M.montmul(SPEC, _mont_const(scale), F)
+        term = term.at[:, 0:1].set(
+            M.sub(
+                SPEC,
+                term[:, 0:1],
+                M.montmul(SPEC, _mont_const(scale), _mont_const(r_u)),
+            )
+        )
+        L_poly = term if L_poly is None else M.add(
+            SPEC, M.montmul(SPEC, L_poly, y_t), term
+        )
+    # subtract Z_T(u) * H
+    L_poly = M.sub(
+        SPEC, L_poly, M.montmul(SPEC, _mont_const(z_t_u), h_coeff)
+    )
+    # witness W = L / (X - u): divide on the coset
+    L_cos = _to_coset_evals(domain, L_poly)
+    den = M.sub(SPEC, xs_coset, jnp.broadcast_to(_mont_const(u_ch), xs_coset.shape))
+    W_cos = M.montmul(SPEC, L_cos, M.batch_inverse(SPEC, den, axis=1))
+    W_coeff = _from_coset_evals(domain, W_cos)
+    t.write_point(commit_coeff(pk.srs, W_coeff))
+
+
+def _interp(pts: list[int], evs: list[int]) -> list[int]:
+    """Host Lagrange interpolation -> coefficient list (low-first)."""
+    k = len(pts)
+    coeffs = [0] * k
+    for i in range(k):
+        # basis poly prod_{j!=i} (X - x_j)/(x_i - x_j)
+        num = [1]
+        denom = 1
+        for j in range(k):
+            if j == i:
+                continue
+            num = _polymul(num, [(-pts[j]) % R, 1])
+            denom = denom * (pts[i] - pts[j]) % R
+        scale = evs[i] * pow(denom, R - 2, R) % R
+        for d, c in enumerate(num):
+            coeffs[d] = (coeffs[d] + c * scale) % R
+    return coeffs
+
+
+def _polymul(a, b):
+    out = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            out[i + j] = (out[i + j] + ai * bj) % R
+    return out
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=8)
+def _coset_points_cached(k: int):
+    return _coset_points(Domain(k, k))
+
+
+def _coset_points(domain: Domain) -> jnp.ndarray:
+    n = domain.n
+    g = COSET_GEN
+    w = domain.omega
+    xs = []
+    acc = g
+    for _ in range(n):
+        xs.append(acc)
+        acc = acc * w % R
+    return jnp.asarray(SPEC.encode(xs))
+
+
+def _to_coset_evals(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
+    from ..ops import ntt as N
+
+    return N.ntt(SPEC, N.coset_shift(SPEC, coeffs, COSET_GEN), domain.k)
+
+
+def _from_coset_evals(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+    from ..ops import ntt as N
+
+    ginv = pow(COSET_GEN, R - 2, R)
+    return N.coset_shift(SPEC, N.intt(SPEC, evals, domain.k), ginv)
+
+
+def _poly_eval_coset(domain: Domain, coeffs_host: list[int]) -> jnp.ndarray:
+    """Evaluate a tiny host poly on the size-n coset (device)."""
+    n = domain.n
+    pad = coeffs_host + [0] * (n - len(coeffs_host))
+    c = jnp.asarray(SPEC.encode(pad))
+    return _to_coset_evals(domain, c)
+
+
+def _vanishing_coset(domain: Domain, pts: list[int]) -> jnp.ndarray:
+    """Z_s(X) = prod (X - p) evaluated on the coset."""
+    xs = _coset_points_cached(domain.k)
+    acc = None
+    for p_ in pts:
+        term = M.sub(SPEC, xs, jnp.broadcast_to(_mont_const(p_), xs.shape))
+        acc = term if acc is None else M.montmul(SPEC, acc, term)
+    return acc
