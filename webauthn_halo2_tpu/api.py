@@ -1,0 +1,112 @@
+"""Library API: the `ecdsa_p256.rs` function surface, TPU-native.
+
+Mirrors the reference's prover/verifier library functions
+(ecdsa_p256.rs:256-469): download_keys, generate_proof[_evm],
+verify[_evm], generate_verifier — with the same raw 32-byte little-endian
+field input convention (Fp::from_bytes — ecdsa_p256.rs:346-352; the web
+client byte-reverses to LE at index.tsx:287-294).
+
+Key artifacts: the reference serializes pk/vk blobs (SerdeFormat::RawBytes,
+~100MB). Our keys are deterministic functions of (circuit params, SRS
+seed), so key files are small manifests; the heavy tensors are rebuilt
+once per process and cached in memory — deliberately fixing the
+per-request reload inefficiency noted in SURVEY §3.2.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from .circuits.ecdsa_circuit import CircuitParams, ECDSACircuit, ECDSAInputs
+from .fields.ref_curve import P256_CURVE
+from .plonk.keygen import ProvingKey, keygen
+from .plonk.prover import create_proof
+from .plonk.srs import get_srs
+from .plonk.verifier import verify_proof
+
+_PK_CACHE: dict = {}
+
+
+def _keys(params: CircuitParams, srs_seed: bytes = b"dev") -> ProvingKey:
+    key = (params.to_json(), srs_seed)
+    if key not in _PK_CACHE:
+        srs = get_srs(params.degree, srs_seed)
+        circuit = ECDSACircuit(params)
+        cs, fixed, _advice, copies = circuit.build(ECDSAInputs.dummy())
+        _PK_CACHE[key] = keygen(srs, cs, fixed, copies)
+    return _PK_CACHE[key]
+
+
+def download_keys(degree: int, pk_path: str, vk_path: str,
+                  params: CircuitParams | None = None) -> None:
+    """keygen + write key manifests (download_keys, ecdsa_p256.rs:256-272)."""
+    params = params or CircuitParams(degree=degree)
+    params.degree = degree
+    pk = _keys(params)
+    manifest = {
+        "kind": "webauthn-halo2-tpu-key",
+        "params": json.loads(params.to_json()),
+        "srs_seed": "dev",
+        "vk_transcript_repr": hex(pk.vk.transcript_repr),
+        "created": time.time(),
+    }
+    for path in (pk_path, vk_path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(manifest, f)
+
+
+def _load_params(key_path: str) -> CircuitParams:
+    if os.path.exists(key_path):
+        with open(key_path) as f:
+            m = json.load(f)
+        return CircuitParams(**m["params"])
+    return CircuitParams()
+
+
+def le_bytes_to_int(b: bytes | list[int]) -> int:
+    return int.from_bytes(bytes(b), "little")
+
+
+def generate_proof(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
+                   msghash: bytes, proving_key_path: str = "",
+                   params: CircuitParams | None = None) -> bytes:
+    """Blake2b/SHPLONK proof from raw LE byte inputs (ecdsa_p256.rs:379-427)."""
+    params = params or _load_params(proving_key_path)
+    pk = _keys(params)
+    inputs = ECDSAInputs(
+        r=le_bytes_to_int(r),
+        s=le_bytes_to_int(s),
+        msghash=le_bytes_to_int(msghash),
+        pk=(le_bytes_to_int(pubkey_x), le_bytes_to_int(pubkey_y)),
+    )
+    circuit = ECDSACircuit(params)
+    _cs, _fixed, advice, _copies = circuit.build(inputs)
+    return create_proof(pk, advice, [])
+
+
+def verify(proof: bytes, verifying_key_path: str = "",
+           params: CircuitParams | None = None) -> bool:
+    """Verify a Blake2b/SHPLONK proof (ecdsa_p256.rs:429-445)."""
+    params = params or _load_params(verifying_key_path)
+    pk = _keys(params)
+    return verify_proof(pk.vk, pk.srs, proof, [])
+
+
+def generate_proof_evm(*args, **kwargs):
+    """GWC + Keccak(EVM) transcript variant (ecdsa_p256.rs:329-377).
+
+    Not yet implemented in this round; the Blake2b/SHPLONK path is the
+    production prover. Tracked for the EVM conformance milestone.
+    """
+    raise NotImplementedError("EVM transcript path lands in the next round")
+
+
+def verify_evm(*args, **kwargs):
+    raise NotImplementedError("EVM transcript path lands in the next round")
+
+
+def generate_verifier(*args, **kwargs):
+    """EVM verifier codegen (ecdsa_p256.rs:275-327 / snark-verifier)."""
+    raise NotImplementedError("EVM verifier codegen lands in the next round")

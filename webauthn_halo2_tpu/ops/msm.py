@@ -19,11 +19,13 @@ compilation model (small loop bodies, no giant unrolled graphs):
 Total point-add work is ~n + 2^(c+1) + 4K per window — the textbook
 Pippenger cost — with every loop body compiled exactly once.
 
-Soundness note: stages 3-5 use `add_unsafe` (no P==+-Q handling). All
-operands are sums of disjoint subsets of distinct fixed SRS points, so a
-degenerate collision implies a nontrivial linear relation among SRS
-points — cryptographically negligible, and a wrong result can only yield
-a proof that fails verification (the prover is honest-but-fallible here).
+PRECONDITION: input points must be pairwise-distinct (KZG SRS bases are).
+Stages 3-4 use `add_unsafe` (no P==+-Q handling): operands are sums of
+disjoint subsets of distinct fixed SRS points, so a degenerate collision
+implies a nontrivial linear relation among SRS points — cryptographically
+negligible, and a wrong result can only yield a proof that fails
+verification. Stage 5 uses complete adds (suffix partials repeat by
+construction across empty buckets).
 """
 from __future__ import annotations
 
@@ -221,7 +223,7 @@ def _window_bucket_sum(curve: CurveSpec, spts: JPoint, sdig: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
-        c: int = DEFAULT_C, lanes: int | None = None) -> JPoint:
+        c: int | None = None, lanes: int | None = None) -> JPoint:
     """MSM: sum_i scalars[i] * points[i] -> one Jacobian point (L, 1).
 
     points: (L, n) Jacobian (affine z=1 from the SRS); scalars_mont: (L, n)
@@ -229,6 +231,9 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     """
     f_r = _fr_spec()
     n = scalars_mont.shape[1]
+    if c is None:
+        # balance W*(n + 2^(c+1)) work: c ~ log2(n) - 5, clamped
+        c = min(DEFAULT_C, max(4, n.bit_length() - 5))
     if lanes is None:
         lanes = 256
         while n % lanes or lanes > n:
@@ -271,7 +276,7 @@ def _fr_spec():
 
 
 def msm_host(curve: CurveSpec, point_ints: list, scalar_ints: list,
-             c: int = DEFAULT_C):
+             c: int | None = None):
     """Convenience host wrapper: int points/scalars -> affine int result."""
     pts = E.from_affine_ints(curve, point_ints)
     f_r = _fr_spec()

@@ -1,0 +1,183 @@
+"""Multi-chip sharding: distributed MSM, distributed NTT, batch proving.
+
+The reference has NO distributed execution (SURVEY §2.3); these are the
+first-class new components of the TPU build:
+  * sharded_msm — points/scalars partitioned over the mesh axis; each
+    shard runs the full Pippenger pipeline on its slice, partials combined
+    with a log tree of complete adds (the "psum" for a non-abelian sum).
+  * sharded_ntt — Cooley-Tukey split n = D * n2: short DFT across devices
+    (all_gather over ICI), local twiddles, local long NTTs. Bit-identical
+    to the single-chip NTT.
+  * batch_commit — DP axis: one signature's column per shard (BASELINE
+    config 5: batched multi-signature proving).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fields.limbs import FR_SPEC, L
+from ..ops import ec as E
+from ..ops import modops as M
+from ..ops import msm as MSM
+from ..ops import ntt as N
+from ..ops.ec import JPoint
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _tree_reduce_complete(pts: JPoint) -> JPoint:
+    n = pts.x.shape[1]
+    while n > 1:
+        half = n // 2
+        lo = JPoint(pts.x[:, :half], pts.y[:, :half], pts.z[:, :half])
+        hi = JPoint(
+            pts.x[:, half : 2 * half],
+            pts.y[:, half : 2 * half],
+            pts.z[:, half : 2 * half],
+        )
+        s = E.add(E.BN254_CURVE, lo, hi)
+        if n % 2:
+            s = JPoint(
+                jnp.concatenate([s.x, pts.x[:, -1:]], 1),
+                jnp.concatenate([s.y, pts.y[:, -1:]], 1),
+                jnp.concatenate([s.z, pts.z[:, -1:]], 1),
+            )
+            n = half + 1
+        else:
+            n = half
+        pts = s
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# distributed MSM
+# ---------------------------------------------------------------------------
+
+def sharded_msm(mesh: Mesh, points: JPoint, scalars_mont: jnp.ndarray,
+                c: int | None = None) -> JPoint:
+    """MSM with the point axis sharded over the mesh (exact result)."""
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+    )
+    def local_msm(px, py, pz, sc):
+        res = MSM.msm(E.BN254_CURVE, JPoint(px, py, pz), sc, c)
+        return res.x, res.y, res.z
+
+    rx, ry, rz = local_msm(points.x, points.y, points.z, scalars_mont)
+    return _tree_reduce_complete(JPoint(rx, ry, rz))
+
+
+# ---------------------------------------------------------------------------
+# distributed NTT
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _ntt_shard_consts(k: int, D: int):
+    """(dft matrix (L,D,D), twiddle table (L,D,n2)) as numpy int32."""
+    n = 1 << k
+    n2 = n // D
+    p = FR_SPEC.p
+    w = N.root_of_unity(k)
+    wD = pow(w, n2, p)  # order D root: omega_{n1}
+    dft = [pow(wD, (i * j) % D, p) for j in range(D) for i in range(D)]
+    dft_t = np.asarray(FR_SPEC.encode(dft)).reshape(L, D, D)  # [:, j1, i1]
+    tw = []
+    for j1 in range(D):
+        base = pow(w, j1, p)
+        acc = 1
+        for i2 in range(n2):
+            tw.append(acc)
+            acc = acc * base % p
+    tw_t = np.asarray(FR_SPEC.encode(tw)).reshape(L, D, n2)  # [:, j1, i2]
+    return dft_t, tw_t
+
+
+def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Forward NTT of size 2^k, polynomial axis sharded over the mesh.
+
+    Split a[i] with i = i1*n2 + i2 (rows i1 on devices):
+      inner[j1][i2] = sum_{i1} omega_D^{i1 j1} * a[i1*n2 + i2]   (all_gather)
+      X[j1 + D*j2]  = NTT_n2 over i2 of ( omega^{i2 j1} * inner[j1][i2] )
+    Device j1 ends up holding X[j1 + D*j2] for all j2.
+    """
+    axis = mesh.axis_names[0]
+    D = int(mesh.devices.size)
+    n = 1 << k
+    assert n % D == 0 and (D & (D - 1)) == 0
+    n2 = n // D
+    k2 = n2.bit_length() - 1
+    dft_np, tw_np = _ntt_shard_consts(k, D)
+    dft_t = jnp.asarray(dft_np)
+    tw_t = jnp.asarray(tw_np)
+
+    rows = a.reshape(L, D, n2)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None),
+                  P(None, None, None)),
+        out_specs=P(None, axis, None),
+    )
+    def stage(row_blk, tw_blk, dft_full):
+        allrows = jax.lax.all_gather(row_blk, axis, axis=1, tiled=True)
+        j1 = jax.lax.axis_index(axis)
+        acc = None
+        for i1 in range(D):
+            coef = jax.lax.dynamic_index_in_dim(
+                dft_full[:, :, i1], j1, 1, keepdims=True
+            )  # (L, 1)
+            term = M.montmul(FR_SPEC, allrows[:, i1], coef)
+            acc = term if acc is None else M.add(FR_SPEC, acc, term)
+        t = M.montmul(FR_SPEC, acc, tw_blk[:, 0])
+        y = N._ntt_core(FR_SPEC, t, k2, False, FR_SPEC.p, N._base_root(FR_SPEC))
+        return y[:, None, :]
+
+    out = stage(rows, tw_t, dft_t)  # (L, D, n2): [j1, j2] = X[j1 + D*j2]
+    return out.transpose(0, 2, 1).reshape(L, n)
+
+
+# ---------------------------------------------------------------------------
+# batch (DP) commitments
+# ---------------------------------------------------------------------------
+
+def batch_commit(mesh: Mesh, g_lag: JPoint, columns_mont: jnp.ndarray
+                 ) -> JPoint:
+    """Commit B columns (B sharded over the mesh): the DP axis of batched
+    multi-signature proving. columns_mont: (B, L, n); returns (L, B) points.
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None, None), P(None, None, None)),
+        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+    )
+    def local(cols, g):
+        pts = JPoint(g[0], g[1], g[2])
+        outs_x, outs_y, outs_z = [], [], []
+        for b in range(cols.shape[0]):
+            r = MSM.msm(E.BN254_CURVE, pts, cols[b])
+            outs_x.append(r.x)
+            outs_y.append(r.y)
+            outs_z.append(r.z)
+        return (
+            jnp.concatenate(outs_x, 1),
+            jnp.concatenate(outs_y, 1),
+            jnp.concatenate(outs_z, 1),
+        )
+
+    g_stack = jnp.stack([g_lag.x, g_lag.y, g_lag.z])
+    rx, ry, rz = local(columns_mont, g_stack)
+    return JPoint(rx, ry, rz)

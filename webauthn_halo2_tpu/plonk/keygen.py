@@ -160,7 +160,9 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         perm_comms.append(commit_lagrange(srs, lag))
 
     # --- indicator polynomials ---
-    u = cs.usable_rows(n) - 1  # the "last" active row
+    # row layout: data rows [0, usable); boundary row `usable` (the grand
+    # products' final value); blinding rows (usable, n).
+    u = cs.usable_rows(n)
     l0 = [0] * n
     l0[0] = 1
     llast = [0] * n
@@ -189,7 +191,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     x_ext = encode_column(xs)
 
     # --- vk digest ---
-    h = hashlib.blake2b(digest_size=64, person=b"WH2-TPU-vk-digest")
+    h = hashlib.blake2b(digest_size=64, person=b"WH2-TPU-vk")
     h.update(k.to_bytes(4, "little"))
     h.update(domain.extended_k.to_bytes(4, "little"))
     h.update(repr(

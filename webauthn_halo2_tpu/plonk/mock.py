@@ -70,6 +70,23 @@ def mock_prove(
         return f
 
     for lk in cs.lookups:
+        # fast path: single bare-column lookups (the range-chip shape)
+        simple = all(
+            isinstance(e, CS.Var) and e.rotation == 0
+            for e in lk.inputs + lk.tables
+        )
+        if simple:
+            cols_in = [host[e.kind][e.index][:usable] for e in lk.inputs]
+            cols_tab = [host[e.kind][e.index][:usable] for e in lk.tables]
+            table = set(zip(*cols_tab))
+            for row, tup in enumerate(zip(*cols_in)):
+                if tup not in table:
+                    failures.append(
+                        f"lookup '{lk.name}': row {row} input {tup} not in table"
+                    )
+                    if len(failures) >= max_failures:
+                        break
+            continue
         table = Counter()
         inputs = []
         for row in range(usable):

@@ -33,6 +33,9 @@ from .transcript import Blake2bWrite
 R = BN254_FR
 SPEC = FR_SPEC
 
+# conformance/debug capture of the last proof's internals (tests only)
+LAST_DEBUG: dict = {}
+
 
 def _rand_field(rng) -> int:
     return int.from_bytes(rng(32), "little") % R
@@ -76,7 +79,7 @@ def create_proof(
     ext_n = domain.ext_n
     ratio = ext_n // n
     usable = cs.usable_rows(n)
-    u = usable - 1
+    u = usable  # boundary row: z's final value; data occupies [0, usable)
     omega = domain.omega
     t = Blake2bWrite()
     pk.vk.hash_into(t)
@@ -99,6 +102,8 @@ def create_proof(
         t.write_point(commit_lagrange(pk.srs, lag))
 
     theta = t.squeeze_challenge()
+    LAST_DEBUG.clear()
+    LAST_DEBUG['theta'] = theta
 
     # --- phase 2: lookup permuted columns ---
     def col_getter_lag(kind, idx, rot):
@@ -129,6 +134,7 @@ def create_proof(
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
+    LAST_DEBUG['beta'], LAST_DEBUG['gamma'] = beta, gamma
     beta_t = _mont_const(beta)
     gamma_t = _mont_const(gamma)
 
@@ -178,6 +184,7 @@ def create_proof(
     t.write_point(commit_lagrange(pk.srs, random_lag))
 
     y = t.squeeze_challenge()
+    LAST_DEBUG['y'] = y
 
     # --- phase 6: quotient ---
     advice_coeff = [domain.lagrange_to_coeff(a) for a in advice_lag]
@@ -294,6 +301,7 @@ def create_proof(
         )
         constraints.append(M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, ap, sp)))
 
+    LAST_DEBUG['constraint_ext'] = list(constraints)
     # combine with powers of y (Horner) and divide by Z_H
     y_t = _mont_const(y)
     h_ext = constraints[0]
@@ -302,12 +310,15 @@ def create_proof(
     h_ext = domain.divide_by_vanishing(h_ext)
     h_coeff = domain.extended_to_coeff(h_ext)
 
-    # split into ext_n/n pieces of n coefficients; commit each
-    h_pieces = [h_coeff[:, i * n : (i + 1) * n] for i in range(ratio)]
+    # quotient degree < (d-1)*n: exactly d-1 pieces of n coefficients
+    # (the padding pieces up to ext_n/n are identically zero)
+    num_pieces = cs.degree() - 1
+    h_pieces = [h_coeff[:, i * n : (i + 1) * n] for i in range(num_pieces)]
     for piece in h_pieces:
         t.write_point(commit_coeff(pk.srs, piece))
 
     x = t.squeeze_challenge()
+    LAST_DEBUG['x'] = x
     x_t = _mont_const(x)
     xpow = P.power_table(SPEC, x_t, n)
 
@@ -362,6 +373,8 @@ def create_proof(
             SPEC, M.montmul(SPEC, h_combined, _mont_const(xn)), piece
         )
     h_eval = _eval_to_int(M.from_mont(SPEC, P.eval_at(SPEC, h_combined, xpow)))
+    LAST_DEBUG['h_eval'] = h_eval
+    LAST_DEBUG['evals'] = [(id(c), rot, ev) for c, rot, ev in queries]
     queries.append((h_combined, 0, h_eval))
 
     # --- phase 8: SHPLONK multiopen ---
@@ -410,22 +423,22 @@ def _grand_product(num, den, usable: int, carry_in: int, rng) -> jnp.ndarray:
     n = num.shape[1]
     den_inv = M.batch_inverse(SPEC, den, axis=1)
     ratio = M.montmul(SPEC, num, den_inv)
-    # force ratio = 1 outside active rows [0, usable-1)
+    # force ratio = 1 outside the active rows [0, usable)
     one_b = jnp.broadcast_to(
         jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1)), ratio.shape
     )
-    mask = (jnp.arange(n) < usable - 1)[None, :]
+    mask = (jnp.arange(n) < usable)[None, :]
     ratio = jnp.where(mask, ratio, one_b)
     incl = jax.lax.associative_scan(
         functools.partial(M.montmul, SPEC), ratio, axis=1
     )
     z = jnp.concatenate([one_b[:, :1], incl[:, :-1]], axis=1)
     z = M.montmul(SPEC, _mont_const(carry_in), z)
-    # blind tail rows (beyond usable)
-    tail = [int.from_bytes(rng(32), "little") % R for _ in range(n - usable)]
+    # blind tail rows strictly beyond the boundary row `usable`
+    tail = [int.from_bytes(rng(32), "little") % R for _ in range(n - usable - 1)]
     if tail:
         tail_t = jnp.asarray(SPEC.encode(tail))
-        z = z.at[:, usable:].set(tail_t)
+        z = z.at[:, usable + 1:].set(tail_t)
     return z
 
 

@@ -19,6 +19,8 @@ from .transcript import Blake2bRead
 R = BN254_FR
 G = BN254_G1_CURVE
 
+LAST_DEBUG: dict = {}
+
 
 def verify_proof(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     try:
@@ -33,7 +35,7 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     n = domain.n
     ratio = domain.ext_n // n
     usable = cs.usable_rows(n)
-    u = usable - 1
+    u = usable  # boundary row (see prover.py)
     omega = domain.omega
     t = Blake2bRead(proof)
     vk.hash_into(t)
@@ -55,7 +57,7 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     lk_z_coms = [t.read_point() for _ in cs.lookups]
     random_com = t.read_point()
     y = t.squeeze_challenge()
-    h_coms = [t.read_point() for _ in range(ratio)]
+    h_coms = [t.read_point() for _ in range(cs.degree() - 1)]
     x = t.squeeze_challenge()
 
     # --- read evaluations (must mirror prover order exactly) ---
@@ -172,6 +174,9 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     for c in constraints:
         h_expected = (h_expected * y + c) % R
     h_expected = h_expected * inv_mod(zh, R) % R
+    LAST_DEBUG.clear()
+    LAST_DEBUG.update(theta=theta, beta=beta, gamma=gamma, y=y, x=x,
+                      h_expected=h_expected, constraints=list(constraints))
 
     # --- SHPLONK check ---
     # combined h commitment: sum x^{n i} h_i

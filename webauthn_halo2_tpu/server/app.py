@@ -1,0 +1,102 @@
+"""Proving server: the reference's six HTTP endpoints (main.rs:29-439).
+
+Same routes, JSON schemas, and hex conventions as the Rocket server:
+  POST /setup                 {degree?}                         -> "keys generated"
+  POST /prove                 ProveRequestBody                  -> proof hex
+  POST /prove_evm             ProveRequestBody                  -> proof hex
+  POST /verify                {verifying_key_path, proof}       -> "verified"/"rejected"
+  POST /verify_evm            {verifying_key_path, proof}       -> "verified"/"rejected"
+  POST /generate_evm_verifier {..paths..}                       -> artifacts
+
+ProveRequestBody: {r, s, pubkey_x, pubkey_y, msghash: [u8;32] little-endian,
+proving_key_path} (main.rs:39-47; the browser byte-reverses to LE,
+index.tsx:287-294). Stdlib http.server keeps the dependency surface zero;
+CORS is permissive like the reference (main.rs:441-449). Keys/SRS are
+cached in memory across requests (fixing the reference's per-request
+reload, SURVEY §3.2).
+"""
+from __future__ import annotations
+
+import json
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .. import api
+from ..circuits.ecdsa_circuit import CircuitParams
+
+DEGREE = 17  # main.rs:17 parity
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "webauthn-halo2-tpu/0.1"
+
+    def _send(self, code: int, body: str, ctype="text/plain") -> None:
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.send_header("Access-Control-Allow-Methods", "POST, OPTIONS")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_OPTIONS(self):  # CORS preflight
+        self._send(200, "")
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            route = self.path.rstrip("/")
+            if route == "/setup":
+                degree = int(body.get("degree", DEGREE))
+                api.download_keys(
+                    degree, "./keys/proving_key.pk", "./keys/verifying_key.vk"
+                )
+                self._send(200, "keys generated")
+            elif route in ("/prove", "/prove_evm"):
+                if route == "/prove_evm":
+                    self._send(501, "EVM transcript path lands next round")
+                    return
+                proof = api.generate_proof(
+                    bytes(body["r"]),
+                    bytes(body["s"]),
+                    bytes(body["pubkey_x"]),
+                    bytes(body["pubkey_y"]),
+                    bytes(body["msghash"]),
+                    body.get("proving_key_path", ""),
+                )
+                self._send(200, proof.hex())
+            elif route in ("/verify", "/verify_evm"):
+                if route == "/verify_evm":
+                    self._send(501, "EVM transcript path lands next round")
+                    return
+                ok = api.verify(
+                    bytes.fromhex(body["proof"]),
+                    body.get("verifying_key_path", ""),
+                )
+                self._send(200, "verified" if ok else "rejected")
+            elif route == "/generate_evm_verifier":
+                self._send(501, "EVM verifier codegen lands next round")
+            else:
+                self._send(404, "unknown route")
+        except Exception as e:  # noqa: BLE001 - match reference's 500 behavior
+            traceback.print_exc()
+            self._send(500, f"error: {e}")
+
+    def log_message(self, fmt, *args):  # quiet default request log
+        pass
+
+
+def main(port: int = 8000, warm: bool = True) -> None:
+    if warm:
+        # boot-time keygen, like the reference's main() (main.rs:451-456)
+        api.download_keys(DEGREE, "./keys/proving_key.pk", "./keys/verifying_key.vk")
+    srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    print(f"proving server on :{port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
