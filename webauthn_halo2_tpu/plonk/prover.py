@@ -334,9 +334,8 @@ def create_proof(
         if rot not in _pow_cache:
             _pow_cache[rot] = P.power_table(SPEC, _mont_const(point), n)
         pt_pow = _pow_cache[rot]
-        ev = _eval_to_int(
-            M.from_mont(SPEC, P.eval_at(SPEC, coeffs, pt_pow))
-        )
+        # decode(mont=True) performs the Montgomery conversion itself
+        ev = _eval_to_int(P.eval_at(SPEC, coeffs, pt_pow))
         queries.append((coeffs, rot, ev))
         if write:
             t.write_scalar(ev)
@@ -372,7 +371,7 @@ def create_proof(
         h_combined = M.add(
             SPEC, M.montmul(SPEC, h_combined, _mont_const(xn)), piece
         )
-    h_eval = _eval_to_int(M.from_mont(SPEC, P.eval_at(SPEC, h_combined, xpow)))
+    h_eval = _eval_to_int(P.eval_at(SPEC, h_combined, xpow))
     LAST_DEBUG['h_eval'] = h_eval
     LAST_DEBUG['evals'] = [(id(c), rot, ev) for c, rot, ev in queries]
     queries.append((h_combined, 0, h_eval))
