@@ -161,7 +161,7 @@ def create_proof(
             num = nterm if num is None else M.montmul(SPEC, num, nterm)
             den = dterm if den is None else M.montmul(SPEC, den, dterm)
         z = _grand_product(num, den, usable, carry_in, rng)
-        carry_in = decode_column(z)[u]
+        carry_in = decode_column(z[:, u : u + 1])[0]  # boundary value only
         perm_zs.append(z)
         t.write_point(commit_lagrange(pk.srs, z))
 
@@ -207,107 +207,19 @@ def create_proof(
             domain.lagrange_to_coeff(lkd["comp_tab"])
         )
 
-    def col_getter_ext(kind, idx, rot):
-        src = {
-            CS.FIXED: pk.fixed_ext,
-            CS.ADVICE: advice_ext,
-            CS.INSTANCE: instance_ext,
-        }[kind][idx]
-        return jnp.roll(src, -rot * ratio, axis=1) if rot else src
-
-    def rot_ext(tensor, rot):
-        return jnp.roll(tensor, -rot * ratio, axis=1)
-
-    one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
-    active = M.sub(SPEC, one_t, M.add(SPEC, pk.llast_ext, pk.lblind_ext))
-
-    constraints = []
-    # (a) gates
-    for _, g in cs.gates:
-        constraints.append(CS.eval_device(g, col_getter_ext))
-    # (b) permutation
-    if perm_cols:
-        # l_0 * (1 - z_0)
-        constraints.append(
-            M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, one_t, perm_z_ext[0]))
-        )
-        # l_last * (z_last^2 - z_last)
-        zl = perm_z_ext[-1]
-        constraints.append(
-            M.montmul(SPEC, pk.llast_ext, M.sub(SPEC, M.montsquare(SPEC, zl), zl))
-        )
-        # l_0 * (z_i - z_{i-1}(w^u X)) for i > 0
-        for i in range(1, len(perm_z_ext)):
-            constraints.append(
-                M.montmul(
-                    SPEC,
-                    pk.l0_ext,
-                    M.sub(SPEC, perm_z_ext[i], rot_ext(perm_z_ext[i - 1], u)),
-                )
-            )
-        # product rules
-        for ci, cstart in enumerate(range(0, len(perm_cols), chunk_len)):
-            chunk = list(range(cstart, min(cstart + chunk_len, len(perm_cols))))
-            left = rot_ext(perm_z_ext[ci], 1)
-            right = perm_z_ext[ci]
-            for j in chunk:
-                kind, idx = perm_cols[j]
-                v = col_getter_ext(kind, idx, 0)
-                delta_j = pow(BN254_FR_DELTA, j, R)
-                idv = M.montmul(
-                    SPEC, _mont_const(delta_j * 1 % R), pk.x_ext
-                )
-                left = M.montmul(
-                    SPEC,
-                    left,
-                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, pk.sigma_ext[j])), gamma_t),
-                )
-                right = M.montmul(
-                    SPEC,
-                    right,
-                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, idv)), gamma_t),
-                )
-            constraints.append(M.montmul(SPEC, active, M.sub(SPEC, left, right)))
-    # (c) lookups
-    for lkd in lookups:
-        z_e = lkd["z_ext"]
-        z_n = rot_ext(z_e, 1)
-        ap = lkd["a_p_ext"]
-        sp = lkd["s_p_ext"]
-        ap_prev = rot_ext(ap, -1)
-        constraints.append(M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, one_t, z_e)))
-        constraints.append(
-            M.montmul(SPEC, pk.llast_ext, M.sub(SPEC, M.montsquare(SPEC, z_e), z_e))
-        )
-        lhs = M.montmul(
-            SPEC, z_n, M.montmul(SPEC, M.add(SPEC, ap, beta_t), M.add(SPEC, sp, gamma_t))
-        )
-        rhs = M.montmul(
-            SPEC,
-            z_e,
-            M.montmul(
-                SPEC,
-                M.add(SPEC, lkd["in_ext"], beta_t),
-                M.add(SPEC, lkd["tab_ext"], gamma_t),
-            ),
-        )
-        constraints.append(M.montmul(SPEC, active, M.sub(SPEC, lhs, rhs)))
-        constraints.append(
-            M.montmul(
-                SPEC,
-                active,
-                M.montmul(SPEC, M.sub(SPEC, ap, sp), M.sub(SPEC, ap, ap_prev)),
-            )
-        )
-        constraints.append(M.montmul(SPEC, pk.l0_ext, M.sub(SPEC, ap, sp)))
-
-    LAST_DEBUG['constraint_ext'] = list(constraints)
-    # combine with powers of y (Horner) and divide by Z_H
-    y_t = _mont_const(y)
-    h_ext = constraints[0]
-    for c in constraints[1:]:
-        h_ext = M.add(SPEC, M.montmul(SPEC, h_ext, y_t), c)
-    h_ext = domain.divide_by_vanishing(h_ext)
+    lk_ext = [
+        dict(z=l["z_ext"], a_p=l["a_p_ext"], s_p=l["s_p_ext"],
+             inp=l["in_ext"], tab=l["tab_ext"])
+        for l in lookups
+    ]
+    qfn = _quotient_fn(cs, u, ratio)
+    h_ext = qfn(
+        tuple(pk.fixed_ext), tuple(advice_ext), tuple(instance_ext),
+        tuple(perm_z_ext), tuple(pk.sigma_ext), tuple(lk_ext),
+        pk.l0_ext, pk.llast_ext, pk.lblind_ext, pk.x_ext,
+        jnp.asarray(domain.zh_inv_extended_np()),
+        beta_t, gamma_t, _mont_const(y),
+    )
     h_coeff = domain.extended_to_coeff(h_ext)
 
     # quotient degree < (d-1)*n: exactly d-1 pieces of n coefficients
@@ -621,3 +533,122 @@ def _vanishing_coset(domain: Domain, pts: list[int]) -> jnp.ndarray:
         term = M.sub(SPEC, xs, jnp.broadcast_to(_mont_const(p_), xs.shape))
         acc = term if acc is None else M.montmul(SPEC, acc, term)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# quotient construction (single jitted graph: one device dispatch per proof)
+# ---------------------------------------------------------------------------
+
+_QUOTIENT_CACHE: dict = {}
+
+
+def _quotient_fn(cs: CS.ConstraintSystem, u: int, ratio: int):
+    """Jitted h_ext builder, cached per constraint system identity.
+
+    Bundling the whole constraint-evaluation + Horner + Z_H division into
+    one XLA program keeps the remote-TPU dispatch count flat regardless of
+    circuit size (each eager op costs ~ms over the device tunnel).
+    """
+    key = (id(cs), u, ratio)
+    if key in _QUOTIENT_CACHE:
+        return _QUOTIENT_CACHE[key]
+
+    import jax
+
+    chunk_len = cs.permutation_chunk_len()
+    perm_cols = cs.perm_columns
+
+    def core(fixed_ext, advice_ext, instance_ext, perm_z_ext, sigma_ext,
+             lk_ext, l0, llast, lblind, x_ext, zh_inv, beta_t, gamma_t, y_t):
+        def col_getter_ext(kind, idx, rot):
+            src_ = {
+                CS.FIXED: fixed_ext,
+                CS.ADVICE: advice_ext,
+                CS.INSTANCE: instance_ext,
+            }[kind][idx]
+            return jnp.roll(src_, -rot * ratio, axis=1) if rot else src_
+
+        def rot_ext(tensor, rot):
+            return jnp.roll(tensor, -rot * ratio, axis=1)
+
+        one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
+        active = M.sub(SPEC, one_t, M.add(SPEC, llast, lblind))
+
+        constraints = []
+        for _, g in cs.gates:
+            constraints.append(CS.eval_device(g, col_getter_ext))
+        if perm_cols:
+            constraints.append(
+                M.montmul(SPEC, l0, M.sub(SPEC, one_t, perm_z_ext[0]))
+            )
+            zl = perm_z_ext[-1]
+            constraints.append(
+                M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, zl), zl))
+            )
+            for i in range(1, len(perm_z_ext)):
+                constraints.append(
+                    M.montmul(
+                        SPEC, l0,
+                        M.sub(SPEC, perm_z_ext[i], rot_ext(perm_z_ext[i - 1], u)),
+                    )
+                )
+            for ci, cstart in enumerate(range(0, len(perm_cols), chunk_len)):
+                chunk = list(
+                    range(cstart, min(cstart + chunk_len, len(perm_cols)))
+                )
+                left = rot_ext(perm_z_ext[ci], 1)
+                right = perm_z_ext[ci]
+                for j in chunk:
+                    kind, idx = perm_cols[j]
+                    v = col_getter_ext(kind, idx, 0)
+                    delta_j = pow(BN254_FR_DELTA, j, R)
+                    idv = M.montmul(SPEC, _mont_const(delta_j), x_ext)
+                    left = M.montmul(
+                        SPEC, left,
+                        M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, sigma_ext[j])), gamma_t),
+                    )
+                    right = M.montmul(
+                        SPEC, right,
+                        M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, idv)), gamma_t),
+                    )
+                constraints.append(
+                    M.montmul(SPEC, active, M.sub(SPEC, left, right))
+                )
+        for lkd in lk_ext:
+            z_e = lkd["z"]
+            z_n = rot_ext(z_e, 1)
+            ap = lkd["a_p"]
+            sp = lkd["s_p"]
+            ap_prev = rot_ext(ap, -1)
+            constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, one_t, z_e)))
+            constraints.append(
+                M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, z_e), z_e))
+            )
+            lhs = M.montmul(
+                SPEC, z_n,
+                M.montmul(SPEC, M.add(SPEC, ap, beta_t), M.add(SPEC, sp, gamma_t)),
+            )
+            rhs = M.montmul(
+                SPEC, z_e,
+                M.montmul(
+                    SPEC, M.add(SPEC, lkd["inp"], beta_t),
+                    M.add(SPEC, lkd["tab"], gamma_t),
+                ),
+            )
+            constraints.append(M.montmul(SPEC, active, M.sub(SPEC, lhs, rhs)))
+            constraints.append(
+                M.montmul(
+                    SPEC, active,
+                    M.montmul(SPEC, M.sub(SPEC, ap, sp), M.sub(SPEC, ap, ap_prev)),
+                )
+            )
+            constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, ap, sp)))
+
+        h_ext = constraints[0]
+        for c in constraints[1:]:
+            h_ext = M.add(SPEC, M.montmul(SPEC, h_ext, y_t), c)
+        return M.montmul(SPEC, h_ext, zh_inv)
+
+    fn = core if os.environ.get("WH2_DEBUG_QUOTIENT") else jax.jit(core)
+    _QUOTIENT_CACHE[key] = fn
+    return fn
