@@ -67,7 +67,7 @@ def sharded_msm(mesh: Mesh, points: JPoint, scalars_mont: jnp.ndarray,
     axis = mesh.axis_names[0]
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
         out_specs=(P(None, axis), P(None, axis), P(None, axis)),
     )
@@ -125,7 +125,7 @@ def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
     rows = a.reshape(L, D, n2)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(None, axis, None), P(None, axis, None),
                   P(None, None, None)),
         out_specs=P(None, axis, None),
@@ -160,7 +160,7 @@ def batch_commit(mesh: Mesh, g_lag: JPoint, columns_mont: jnp.ndarray
     axis = mesh.axis_names[0]
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis, None, None), P(None, None, None)),
         out_specs=(P(None, axis), P(None, axis), P(None, axis)),
     )
