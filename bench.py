@@ -84,8 +84,10 @@ def main():
     times = []
     n_iters = int(os.environ.get("WH2_BENCH_ITERS", "2"))
     for i in range(n_iters):
-        advice, wt = fresh_witness()
+        # time witness synthesis + proving together: the reference's
+        # create_proof includes circuit synthesis (ecdsa_p256.rs:415-423)
         t0 = time.time()
+        advice, wt = fresh_witness()
         proof = create_proof(pk, advice, [])
         dt = time.time() - t0
         times.append(dt)

@@ -104,3 +104,21 @@ def test_prove_rejects_on_bad_copy_witness():
     bad_advice[0][7] = (999 + 2 * 4) % R
     proof = create_proof(pk, bad_advice, [])
     assert not verify_proof(pk.vk, srs, proof, [])
+
+
+def test_prove_and_verify_toy_gwc_keccak():
+    """The EVM path: GWC multiopen + Keccak transcript (prove_evm parity)."""
+    from webauthn_halo2_tpu.plonk.transcript import KeccakRead, KeccakWrite
+
+    cs = build_toy()
+    n = 1 << K
+    fixed, advice, copies = build_witness(cs, n)
+    srs = get_srs(K)
+    pk = keygen(srs, cs, fixed, copies)
+    proof = create_proof(pk, advice, [], scheme="gwc", transcript=KeccakWrite())
+    assert verify_proof(pk.vk, srs, proof, [], scheme="gwc",
+                        transcript=KeccakRead(proof))
+    bad = bytearray(proof)
+    bad[len(bad) // 3] ^= 1
+    assert not verify_proof(pk.vk, srs, bytes(bad), [], scheme="gwc",
+                            transcript=KeccakRead(bytes(bad)))

@@ -94,17 +94,33 @@ def verify(proof: bytes, verifying_key_path: str = "",
     return verify_proof(pk.vk, pk.srs, proof, [])
 
 
-def generate_proof_evm(*args, **kwargs):
-    """GWC + Keccak(EVM) transcript variant (ecdsa_p256.rs:329-377).
+def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
+                       msghash: bytes, proving_key_path: str = "",
+                       params: CircuitParams | None = None) -> bytes:
+    """GWC + Keccak(EVM) transcript proof (ecdsa_p256.rs:329-377)."""
+    from .plonk.transcript import KeccakWrite
 
-    Not yet implemented in this round; the Blake2b/SHPLONK path is the
-    production prover. Tracked for the EVM conformance milestone.
-    """
-    raise NotImplementedError("EVM transcript path lands in the next round")
+    params = params or _load_params(proving_key_path)
+    pk = _keys(params)
+    inputs = ECDSAInputs(
+        r=le_bytes_to_int(r),
+        s=le_bytes_to_int(s),
+        msghash=le_bytes_to_int(msghash),
+        pk=(le_bytes_to_int(pubkey_x), le_bytes_to_int(pubkey_y)),
+    )
+    circuit = ECDSACircuit(params)
+    _cs, _fixed, advice, _copies = circuit.build(inputs)
+    return create_proof(pk, advice, [], scheme="gwc", transcript=KeccakWrite())
 
 
-def verify_evm(*args, **kwargs):
-    raise NotImplementedError("EVM transcript path lands in the next round")
+def verify_evm(proof: bytes, verifying_key_path: str = "",
+               params: CircuitParams | None = None) -> bool:
+    from .plonk.transcript import KeccakRead
+
+    params = params or _load_params(verifying_key_path)
+    pk = _keys(params)
+    return verify_proof(pk.vk, pk.srs, proof, [], scheme="gwc",
+                        transcript=KeccakRead(proof))
 
 
 def generate_verifier(*args, **kwargs):

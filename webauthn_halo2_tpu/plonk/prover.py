@@ -72,6 +72,8 @@ def create_proof(
     instances: list,  # per instance column: list[int]
     lookup_fill: list | None = None,  # per lookup: default table fill value
     rng=os.urandom,
+    scheme: str = "shplonk",  # "shplonk" (Blake2b path) | "gwc" (EVM path)
+    transcript=None,
 ) -> bytes:
     cs = pk.vk.cs
     domain: Domain = pk.vk.domain
@@ -81,7 +83,7 @@ def create_proof(
     usable = cs.usable_rows(n)
     u = usable  # boundary row: z's final value; data occupies [0, usable)
     omega = domain.omega
-    t = Blake2bWrite()
+    t = transcript if transcript is not None else Blake2bWrite()
     pk.vk.hash_into(t)
 
     # --- instances (absorbed as scalars; none in the ECDSA circuit) ---
@@ -288,8 +290,13 @@ def create_proof(
     LAST_DEBUG['evals'] = [(id(c), rot, ev) for c, rot, ev in queries]
     queries.append((h_combined, 0, h_eval))
 
-    # --- phase 8: SHPLONK multiopen ---
-    _shplonk_open(pk, t, queries, x, domain)
+    # --- phase 8: batch opening ---
+    if scheme == "shplonk":
+        _shplonk_open(pk, t, queries, x, domain)
+    elif scheme == "gwc":
+        _gwc_open(pk, t, queries, x, domain)
+    else:
+        raise ValueError(f"unknown multiopen scheme {scheme!r}")
     return t.finalize()
 
 
@@ -652,3 +659,48 @@ def _quotient_fn(cs: CS.ConstraintSystem, u: int, ratio: int):
     fn = core if os.environ.get("WH2_DEBUG_QUOTIENT") else jax.jit(core)
     _QUOTIENT_CACHE[key] = fn
     return fn
+
+
+def _gwc_open(pk: ProvingKey, t, queries, x: int, domain: Domain):
+    """GWC19 batch opening (the reference's EVM path: ProverGWC,
+    ecdsa_p256.rs:365-373): one witness commitment per distinct point.
+
+    v combines the polys within each point group; the verifier's u folds
+    the per-point pairings into one 2-pairing check.
+    """
+    omega = domain.omega
+
+    def rot_point(rot: int) -> int:
+        if rot >= 0:
+            return x * pow(omega, rot, R) % R
+        return x * pow(pow(omega, -rot, R), R - 2, R) % R
+
+    v = t.squeeze_challenge()
+    # group queries by rotation, preserving first-occurrence order
+    groups: dict[int, list] = {}
+    order: list[int] = []
+    for coeffs, rot, ev in queries:
+        if rot not in groups:
+            groups[rot] = []
+            order.append(rot)
+        groups[rot].append((coeffs, ev))
+
+    xs_coset = _coset_points_cached(domain.k)
+    for rot in order:
+        polys = groups[rot]
+        F = None
+        r_comb = 0
+        for coeffs, ev in polys:
+            F = coeffs if F is None else M.add(
+                SPEC, M.montmul(SPEC, F, _mont_const(v)), coeffs
+            )
+            r_comb = (r_comb * v + ev) % R
+        z = rot_point(rot)
+        F = F.at[:, 0:1].set(M.sub(SPEC, F[:, 0:1], _mont_const(r_comb)))
+        F_cos = _to_coset_evals(domain, F)
+        den = M.sub(
+            SPEC, xs_coset, jnp.broadcast_to(_mont_const(z), xs_coset.shape)
+        )
+        W_cos = M.montmul(SPEC, F_cos, M.batch_inverse(SPEC, den, axis=1))
+        W_coeff = _from_coset_evals(domain, W_cos)
+        t.write_point(commit_coeff(pk.srs, W_coeff))

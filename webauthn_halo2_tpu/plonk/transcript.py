@@ -129,3 +129,99 @@ class Blake2bRead(Blake2bBase):
     def assert_consumed(self) -> None:
         if self.off != len(self.proof):
             raise ValueError("trailing proof bytes")
+
+
+# ---------------------------------------------------------------------------
+# Keccak-256 (EVM) transcript — snark-verifier EvmTranscript equivalent
+# (ecdsa_p256.rs:329-377: ProverGWC + EvmTranscript). Points travel
+# uncompressed big-endian (x||y, 64 bytes); scalars big-endian 32 bytes;
+# squeezing hashes the accumulated buffer and restarts it from the digest.
+# ---------------------------------------------------------------------------
+
+from ..utils.keccak import keccak256  # noqa: E402
+
+
+def encode_g1_evm(pt) -> bytes:
+    if pt is None:
+        return bytes(64)
+    return pt[0].to_bytes(32, "big") + pt[1].to_bytes(32, "big")
+
+
+def decode_g1_evm(b: bytes):
+    if len(b) != 64:
+        raise ValueError("bad evm point length")
+    if b == bytes(64):
+        return None
+    x = int.from_bytes(b[:32], "big")
+    y = int.from_bytes(b[32:], "big")
+    if x >= BN254_FQ or y >= BN254_FQ:
+        raise ValueError("non-canonical evm point")
+    pt = (x, y)
+    if not BN254_G1_CURVE.is_on_curve(pt):
+        raise ValueError("evm point not on curve")
+    return pt
+
+
+class KeccakBase:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def common_point(self, pt) -> None:
+        if pt is None:
+            raise ValueError("cannot absorb the identity point")
+        self.buf += encode_g1_evm(pt)
+
+    def common_scalar(self, s: int) -> None:
+        self.buf += (s % BN254_FR).to_bytes(32, "big")
+
+    def squeeze_challenge(self) -> int:
+        digest = keccak256(bytes(self.buf))
+        self.buf = bytearray(digest)
+        return int.from_bytes(digest, "big") % BN254_FR
+
+
+class KeccakWrite(KeccakBase):
+    def __init__(self):
+        super().__init__()
+        self.proof = bytearray()
+
+    def write_point(self, pt) -> None:
+        self.common_point(pt)
+        self.proof += encode_g1_evm(pt)
+
+    def write_scalar(self, s: int) -> None:
+        self.common_scalar(s)
+        self.proof += (s % BN254_FR).to_bytes(32, "big")
+
+    def finalize(self) -> bytes:
+        return bytes(self.proof)
+
+
+class KeccakRead(KeccakBase):
+    def __init__(self, proof: bytes):
+        super().__init__()
+        self.proof = proof
+        self.off = 0
+
+    def _take(self, n: int) -> bytes:
+        if self.off + n > len(self.proof):
+            raise ValueError("proof too short")
+        out = self.proof[self.off : self.off + n]
+        self.off += n
+        return out
+
+    def read_point(self):
+        pt = decode_g1_evm(self._take(64))
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        s = int.from_bytes(self._take(32), "big")
+        if s >= BN254_FR:
+            raise ValueError("non-canonical scalar")
+        self.common_scalar(s)
+        return s
+
+    def assert_consumed(self) -> None:
+        if self.off != len(self.proof):
+            raise ValueError("trailing proof bytes")

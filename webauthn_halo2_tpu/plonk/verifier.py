@@ -22,14 +22,16 @@ G = BN254_G1_CURVE
 LAST_DEBUG: dict = {}
 
 
-def verify_proof(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
+def verify_proof(vk: VerifyingKey, srs, proof: bytes, instances: list,
+                 scheme: str = "shplonk", transcript=None) -> bool:
     try:
-        return _verify(vk, srs, proof, instances)
+        return _verify(vk, srs, proof, instances, scheme, transcript)
     except (ValueError, ZeroDivisionError):
         return False
 
 
-def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
+def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
+            scheme: str = "shplonk", transcript=None) -> bool:
     cs = vk.cs
     domain = vk.domain
     n = domain.n
@@ -37,7 +39,7 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     usable = cs.usable_rows(n)
     u = usable  # boundary row (see prover.py)
     omega = domain.omega
-    t = Blake2bRead(proof)
+    t = transcript if transcript is not None else Blake2bRead(proof)
     vk.hash_into(t)
 
     inst_vals = []
@@ -212,6 +214,17 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
 
     queries.append((("h",), 0, h_expected))
 
+    def rot_point(rot: int) -> int:
+        if rot >= 0:
+            return x * pow(omega, rot, R) % R
+        return x * inv_mod(pow(omega, -rot, R), R) % R
+
+    if scheme == "gwc":
+        return _check_gwc(t, queries, com_map, rot_point, srs)
+    if scheme != "shplonk":
+        raise ValueError(f"unknown multiopen scheme {scheme!r}")
+
+
     # group by rotation set (same ordering rules as the prover)
     by_poly = []
     seen = {}
@@ -232,11 +245,6 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list) -> bool:
     u_ch = t.squeeze_challenge()
     w_com = t.read_point()
     t.assert_consumed()
-
-    def rot_point(rot: int) -> int:
-        if rot >= 0:
-            return x * pow(omega, rot, R) % R
-        return x * inv_mod(pow(omega, -rot, R), R) % R
 
     all_pts = sorted({rot_point(r) for rkey, _ in set_list for r in rkey})
     z_t_u = 1
@@ -294,3 +302,48 @@ def _compress_host(exprs, get_var, theta: int) -> int:
         acc = v if first else (acc * theta + v) % R
         first = False
     return acc
+
+
+def _check_gwc(t, queries, com_map, rot_point, srs) -> bool:
+    """GWC19 verification: fold per-point witnesses with u, one 2-pairing."""
+    v = t.squeeze_challenge()
+    groups: dict[int, list] = {}
+    order: list[int] = []
+    for label, rot, ev in queries:
+        if rot not in groups:
+            groups[rot] = []
+            order.append(rot)
+        groups[rot].append((label, ev))
+    w_coms = [t.read_point() for _ in order]
+    u = t.squeeze_challenge()
+    t.assert_consumed()
+
+    # e(sum u^j W_j, tau G2) == e(sum u^j (z_j W_j + F_j - ev_j G), G2)
+    lhs_pts = []  # (point, scalar)
+    rhs_pts = []
+    upow = 1
+    for j, rot in enumerate(order):
+        polys = groups[rot]
+        r_comb = 0
+        vpow = 1
+        # Horner order: F = sum v^(m-1-i) C_i; replicate with powers
+        m = len(polys)
+        for i, (label, ev) in enumerate(polys):
+            coef = pow(v, m - 1 - i, R)
+            rhs_pts.append((com_map[label], upow * coef % R))
+            r_comb = (r_comb * v + ev) % R
+        z = rot_point(rot)
+        rhs_pts.append((w_coms[j], upow * z % R))
+        rhs_pts.append((G.g, (-upow * r_comb) % R))
+        lhs_pts.append((w_coms[j], upow))
+        upow = upow * u % R
+
+    def msm_host_pts(pairs):
+        acc = None
+        for pt, sc in pairs:
+            acc = G.add(acc, G.mul(sc % R, pt))
+        return acc
+
+    lhs = msm_host_pts(lhs_pts)
+    rhs = msm_host_pts(rhs_pts)
+    return pairing_check([(lhs, srs.s_g2), (G.neg(rhs), srs.g2)])

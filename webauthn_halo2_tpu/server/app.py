@@ -56,10 +56,8 @@ class Handler(BaseHTTPRequestHandler):
                 )
                 self._send(200, "keys generated")
             elif route in ("/prove", "/prove_evm"):
-                if route == "/prove_evm":
-                    self._send(501, "EVM transcript path lands next round")
-                    return
-                proof = api.generate_proof(
+                fn = api.generate_proof if route == "/prove" else api.generate_proof_evm
+                proof = fn(
                     bytes(body["r"]),
                     bytes(body["s"]),
                     bytes(body["pubkey_x"]),
@@ -69,10 +67,8 @@ class Handler(BaseHTTPRequestHandler):
                 )
                 self._send(200, proof.hex())
             elif route in ("/verify", "/verify_evm"):
-                if route == "/verify_evm":
-                    self._send(501, "EVM transcript path lands next round")
-                    return
-                ok = api.verify(
+                fn = api.verify if route == "/verify" else api.verify_evm
+                ok = fn(
                     bytes.fromhex(body["proof"]),
                     body.get("verifying_key_path", ""),
                 )
