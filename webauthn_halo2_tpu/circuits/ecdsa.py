@@ -120,15 +120,23 @@ class EcdsaChip:
         """Constrain the full ECDSA verification statement (private
         witnesses, no public inputs — matching the reference circuit's
         interface, ecdsa_p256.rs:65-72/245)."""
+        m = self.fn.load(m_int)
+        self.fn.enforce_canonical(m)
+        self.verify_with_m(r_int, s_int, m, pk)
+
+    def verify_with_m(self, r_int: int, s_int: int, m,
+                      pk: tuple[int, int]) -> None:
+        """ECDSA verify with the message already in-circuit (any proper
+        CrtInt representative < 2^256; reduction happens in u1 = m/s).
+        Used by the ES256 circuit, whose m comes out of in-circuit SHA-256."""
         fn, fp, ecc = self.fn, self.fp, self.ecc
         n_mod = self.curve.n
+        m_int = m.value
 
         r = fn.load(r_int)
         s = fn.load(s_int)
-        m = fn.load(m_int)
         fn.enforce_canonical(r)
         fn.enforce_canonical(s)
-        fn.enforce_canonical(m)
         fn.assert_nonzero_mod(r)
         w_inv = fn.load(pow(s_int, -1, n_mod))
         fn.mul_constrain(s, w_inv, fn.one())  # also proves s != 0

@@ -68,7 +68,7 @@ class ECDSACircuit:
             "(the reference's production configuration)"
         )
 
-    def build(self, inputs: ECDSAInputs | None = None):
+    def build(self, inputs: ECDSAInputs | None = None, check: bool = True):
         """Run synthesis; returns (cs, fixed_cols, advice_cols, copies)."""
         inputs = inputs or ECDSAInputs.dummy()
         p = self.params
@@ -76,6 +76,7 @@ class ECDSACircuit:
             num_advice=p.num_advice,
             num_lookup_advice=p.num_lookup_advice,
             lookup_bits=p.lookup_bits,
+            check=check,
         )
         chip = EcdsaChip(b)
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)

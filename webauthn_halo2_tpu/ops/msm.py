@@ -235,7 +235,9 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
         # balance W*(n + 2^(c+1)) work: c ~ log2(n) - 5, clamped
         c = min(DEFAULT_C, max(4, n.bit_length() - 5))
     if lanes is None:
-        lanes = 256
+        # balance interior serial steps (n/lanes) against the boundary-scan
+        # work (~2*lanes*log): n/64 capped to [64, 4096]
+        lanes = max(64, min(4096, n // 64))
         while n % lanes or lanes > n:
             lanes //= 2
     std = M.normalize(f_r, M.from_mont(f_r, scalars_mont))
