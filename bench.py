@@ -98,6 +98,29 @@ def main():
     log(f"verify: {ok} in {time.time()-t0:.2f}s")
     assert ok, "benchmark proof failed verification"
 
+    # secondary metric: MSM throughput (BASELINE.json: Mpoints/s per chip)
+    try:
+        import jax as _jax
+        import jax.numpy as jnp
+        import secrets as _sec
+
+        from webauthn_halo2_tpu.fields.limbs import FR_SPEC
+        from webauthn_halo2_tpu.ops import ec as E
+        from webauthn_halo2_tpu.ops.msm import msm
+
+        sc = jnp.asarray(FR_SPEC.encode(
+            [_sec.randbelow(FR_SPEC.p) for _ in range(1 << k)]
+        ))
+        _jax.block_until_ready(msm(E.BN254_CURVE, srs.g_lag, sc))  # warm
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            _jax.block_until_ready(msm(E.BN254_CURVE, srs.g_lag, sc))
+        per = (time.time() - t0) / reps
+        log(f"msm k={k}: {per:.3f}s -> {(1 << k) / per / 1e6:.2f} Mpoints/s")
+    except Exception as e:  # secondary metric must not break the bench
+        log(f"msm metric skipped: {e}")
+
     best = min(times)
     print(json.dumps({
         "metric": f"ecdsa_p256_proof_time_k{k}",

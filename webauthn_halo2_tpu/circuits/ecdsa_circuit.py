@@ -60,6 +60,31 @@ class ECDSAInputs:
         return ECDSAInputs(r, s, m, pk)
 
 
+def auto_params(degree: int) -> CircuitParams:
+    """Column counts for a given degree (the reference's k-vs-columns
+    tradeoff, bench_ecdsa.config / SURVEY §2.3): count the circuit's cells
+    once, then size advice/lookup columns to fit 2^degree rows."""
+    lb = min(16, degree - 1)
+    probe = CircuitParams(degree=degree, num_advice=1, num_lookup_advice=1,
+                          lookup_bits=lb)
+    b = CircuitBuilder(num_advice=8, num_lookup_advice=1, lookup_bits=lb)
+    chip = EcdsaChip(b)
+    i = ECDSAInputs.dummy()
+    chip.verify(i.r, i.s, i.msghash, i.pk)
+    total = sum(len(c) for c in b.columns)
+    lookups = len(b.lookup_values)
+    n = 1 << degree
+    usable = n - 16  # conservative blinding margin
+    table_rows = 1 << lb
+    room = usable - 0
+    assert room > table_rows, f"degree {degree} too small for lookup table"
+    na = -(-total // (usable - 64))
+    nl = -(-lookups // (usable - 64))
+    probe.num_advice = max(1, na)
+    probe.num_lookup_advice = max(1, nl)
+    return probe
+
+
 class ECDSACircuit:
     def __init__(self, params: CircuitParams | None = None):
         self.params = params or CircuitParams()

@@ -229,6 +229,28 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     points: (L, n) Jacobian (affine z=1 from the SRS); scalars_mont: (L, n)
     Montgomery-form Fr limbs (the prover's native representation).
     """
+    return _msm_impl(curve, points, scalars_mont, c, lanes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_batch(curve: CurveSpec, points: JPoint, scalars_batch: jnp.ndarray,
+              c: int | None = None, lanes: int | None = None) -> JPoint:
+    """B MSMs sharing one base set in ONE dispatch: scalars (B, L, n) ->
+    JPoint of (L, B). vmap puts the whole batch through each serial
+    Pippenger step together, amortizing the per-step latency (this is how
+    the prover commits all advice columns at once)."""
+    res = jax.vmap(
+        lambda sc: _msm_impl(curve, points, sc, c, lanes)
+    )(scalars_batch)
+    return JPoint(
+        jnp.moveaxis(res.x[..., 0], 0, 1),
+        jnp.moveaxis(res.y[..., 0], 0, 1),
+        jnp.moveaxis(res.z[..., 0], 0, 1),
+    )
+
+
+def _msm_impl(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
+              c: int | None = None, lanes: int | None = None) -> JPoint:
     f_r = _fr_spec()
     n = scalars_mont.shape[1]
     if c is None:

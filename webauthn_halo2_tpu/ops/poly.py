@@ -36,6 +36,7 @@ def mod_sum(spec: FieldSpec, a: jnp.ndarray, block: int = 16) -> jnp.ndarray:
     return a
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def power_table(spec: FieldSpec, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
     """(L, 1) Montgomery x -> (L, n) [1, x, x^2, ..., x^(n-1)] (log passes)."""
     one = jnp.asarray(spec.one_mont, jnp.int32).reshape(L, 1)
@@ -45,6 +46,7 @@ def power_table(spec: FieldSpec, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def eval_at(spec: FieldSpec, coeffs: jnp.ndarray, xpow: jnp.ndarray) -> jnp.ndarray:
     """Evaluate coeff-form poly at the point whose power table is xpow."""
     nc = coeffs.shape[1]

@@ -19,7 +19,7 @@ from ..fields.constants import BN254_FR, BN254_FR_DELTA
 from ..fields.limbs import FR_SPEC, ints_to_limbs_fast
 from ..ops import ec as E
 from ..ops import modops as M
-from ..ops.msm import msm
+from ..ops.msm import msm, msm_batch
 from . import cs as CS
 from .domain import Domain
 from .srs import SRS
@@ -39,6 +39,26 @@ def commit_lagrange(srs: SRS, col_mont: jnp.ndarray):
     """KZG commit of a Lagrange-basis column -> affine int point."""
     res = msm(E.BN254_CURVE, srs.g_lag, col_mont)
     return E.to_affine_ints(E.BN254_CURVE, res)[0]
+
+
+def _pad8(cols: list) -> list:
+    """Pad the batch to a multiple of 8 so the vmapped MSM graph compiles
+    once per (n, 8k) shape instead of once per batch size."""
+    pad = (-len(cols)) % 8
+    return cols + [cols[0]] * pad
+
+
+def commit_lagrange_batch(srs: SRS, cols: list) -> list:
+    """Commit many Lagrange columns in one device dispatch."""
+    B = len(cols)
+    res = msm_batch(E.BN254_CURVE, srs.g_lag, jnp.stack(_pad8(cols)))
+    return E.to_affine_ints(E.BN254_CURVE, res)[:B]
+
+
+def commit_coeff_batch(srs: SRS, cols: list) -> list:
+    B = len(cols)
+    res = msm_batch(E.BN254_CURVE, srs.g_mono, jnp.stack(_pad8(cols)))
+    return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
 def commit_coeff(srs: SRS, coeffs_mont: jnp.ndarray):
@@ -120,8 +140,8 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     domain = _domain_for(cs, k)
     assert len(fixed_cols) == cs.num_fixed
 
-    # --- fixed columns ---
-    fixed_lagrange, fixed_coeff, fixed_ext, fixed_comms = [], [], [], []
+    # --- fixed columns (one batched commit dispatch) ---
+    fixed_lagrange, fixed_coeff, fixed_ext = [], [], []
     for col in fixed_cols:
         vals = list(col) + [0] * (n - len(col))
         lag = encode_column(vals)
@@ -129,7 +149,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         fixed_lagrange.append(lag)
         fixed_coeff.append(coeff)
         fixed_ext.append(domain.coeff_to_extended(coeff))
-        fixed_comms.append(commit_lagrange(srs, lag))
+    fixed_comms = commit_lagrange_batch(srs, fixed_lagrange)
 
     # --- permutation sigmas ---
     omega = domain.omega
@@ -143,7 +163,6 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     mapping = assemble_permutation(cs, n, copies)
     sigma_values, sigma_lagrange, sigma_coeff, sigma_ext = [], [], [], []
     id_values = []
-    perm_comms = []
     for j in range(len(cs.perm_columns)):
         ids = [deltas[j] * int(omega_pows[i]) % R for i in range(n)]
         id_values.append(ids)
@@ -157,7 +176,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         sigma_lagrange.append(lag)
         sigma_coeff.append(coeff)
         sigma_ext.append(domain.coeff_to_extended(coeff))
-        perm_comms.append(commit_lagrange(srs, lag))
+    perm_comms = commit_lagrange_batch(srs, sigma_lagrange) if sigma_lagrange else []
 
     # --- indicator polynomials ---
     # row layout: data rows [0, usable); boundary row `usable` (the grand

@@ -14,6 +14,8 @@ tiny interpolations are host-side.
 from __future__ import annotations
 
 import os
+import sys
+import time as _time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -27,7 +29,8 @@ from ..ops import poly as P
 from ..ops.msm import msm
 from . import cs as CS
 from .domain import COSET_GEN, Domain
-from .keygen import ProvingKey, commit_coeff, commit_lagrange, encode_column
+from .keygen import (ProvingKey, commit_coeff, commit_coeff_batch,
+                     commit_lagrange, commit_lagrange_batch, encode_column)
 from .transcript import Blake2bWrite
 
 R = BN254_FR
@@ -35,6 +38,28 @@ SPEC = FR_SPEC
 
 # conformance/debug capture of the last proof's internals (tests only)
 LAST_DEBUG: dict = {}
+
+
+class _Span:
+    """Phase span timer (ark-std start_timer!/end_timer! parity, SURVEY §5.1).
+
+    Enabled with WH2_TRACE=1; blocks on device completion at span ends so
+    the numbers attribute real device time to each phase."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = _time.time()
+        return self
+
+    def __exit__(self, *a):
+        if os.environ.get("WH2_TRACE"):
+            # a fresh tiny computation completes only after everything
+            # already enqueued on the (single) device stream
+            jnp.zeros(1).block_until_ready()
+            print(f"[span] {self.name}: {_time.time()-self.t0:.3f}s",
+                  file=sys.stderr, flush=True)
 
 
 def _rand_field(rng) -> int:
@@ -94,14 +119,15 @@ def create_proof(
             t.common_scalar(v)
         instance_lag.append(encode_column(vals))
 
-    # --- phase 1: advice commitments ---
-    advice_lag = []
-    for col in advice_values:
-        vals = [v % R for v in col] + [0] * (usable - len(col))
-        vals += [_rand_field(rng) for _ in range(n - usable)]  # blinding rows
-        lag = encode_column(vals)
-        advice_lag.append(lag)
-        t.write_point(commit_lagrange(pk.srs, lag))
+    # --- phase 1: advice commitments (one batched MSM dispatch) ---
+    with _Span("advice commit"):
+        advice_lag = []
+        for col in advice_values:
+            vals = [v % R for v in col] + [0] * (usable - len(col))
+            vals += [_rand_field(rng) for _ in range(n - usable)]
+            advice_lag.append(encode_column(vals))
+        for pt in commit_lagrange_batch(pk.srs, advice_lag):
+            t.write_point(pt)
 
     theta = t.squeeze_challenge()
     LAST_DEBUG.clear()
@@ -116,6 +142,7 @@ def create_proof(
         }[kind][idx]
         return jnp.roll(src, -rot, axis=1) if rot else src
 
+    _lk_span = _Span("lookup permute+commit"); _lk_span.__enter__()
     lookups = []  # dicts with device tensors
     for lk in cs.lookups:
         comp_in = _compress(lk.inputs, col_getter_lag, theta)
@@ -128,12 +155,15 @@ def create_proof(
         s_p += [_rand_field(rng) for _ in range(n - usable)]
         a_p_lag = encode_column(a_p)
         s_p_lag = encode_column(s_p)
-        t.write_point(commit_lagrange(pk.srs, a_p_lag))
-        t.write_point(commit_lagrange(pk.srs, s_p_lag))
         lookups.append(
             dict(comp_in=comp_in, comp_tab=comp_tab, a_p=a_p_lag, s_p=s_p_lag)
         )
+    if lookups:
+        perm_cols_flat = [c for l in lookups for c in (l["a_p"], l["s_p"])]
+        for pt in commit_lagrange_batch(pk.srs, perm_cols_flat):
+            t.write_point(pt)
 
+    _lk_span.__exit__()
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
     LAST_DEBUG['beta'], LAST_DEBUG['gamma'] = beta, gamma
@@ -165,7 +195,6 @@ def create_proof(
         z = _grand_product(num, den, usable, carry_in, rng)
         carry_in = decode_column(z[:, u : u + 1])[0]  # boundary value only
         perm_zs.append(z)
-        t.write_point(commit_lagrange(pk.srs, z))
 
     # --- phase 4: lookup grand products ---
     for lkd in lookups:
@@ -177,37 +206,47 @@ def create_proof(
         den = M.montmul(SPEC, ap_beta, sp_gamma)
         z = _grand_product(num, den, usable, 1, rng)
         lkd["z"] = z
-        t.write_point(commit_lagrange(pk.srs, z))
 
-    # --- phase 5: vanishing random polynomial ---
+    # --- phase 5: vanishing random polynomial + batched z commits ---
     rand_vals = [_rand_field(rng) for _ in range(n)]
     random_lag = encode_column(rand_vals)
     random_coeff = domain.lagrange_to_coeff(random_lag)
-    t.write_point(commit_lagrange(pk.srs, random_lag))
+    with _Span("grand products + z commits"):
+        z_cols = perm_zs + [lkd["z"] for lkd in lookups] + [random_lag]
+        for pt in commit_lagrange_batch(pk.srs, z_cols):
+            t.write_point(pt)
 
     y = t.squeeze_challenge()
     LAST_DEBUG['y'] = y
 
     # --- phase 6: quotient ---
-    advice_coeff = [domain.lagrange_to_coeff(a) for a in advice_lag]
-    advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
-    instance_coeff = [domain.lagrange_to_coeff(a) for a in instance_lag]
-    instance_ext = [domain.coeff_to_extended(a) for a in instance_coeff]
-    perm_z_coeff = [domain.lagrange_to_coeff(z) for z in perm_zs]
-    perm_z_ext = [domain.coeff_to_extended(z) for z in perm_z_coeff]
-    for lkd in lookups:
-        lkd["z_coeff"] = domain.lagrange_to_coeff(lkd["z"])
-        lkd["z_ext"] = domain.coeff_to_extended(lkd["z_coeff"])
-        lkd["a_p_coeff"] = domain.lagrange_to_coeff(lkd["a_p"])
-        lkd["a_p_ext"] = domain.coeff_to_extended(lkd["a_p_coeff"])
-        lkd["s_p_coeff"] = domain.lagrange_to_coeff(lkd["s_p"])
-        lkd["s_p_ext"] = domain.coeff_to_extended(lkd["s_p_coeff"])
-        lkd["in_ext"] = domain.coeff_to_extended(
-            domain.lagrange_to_coeff(lkd["comp_in"])
-        )
-        lkd["tab_ext"] = domain.coeff_to_extended(
-            domain.lagrange_to_coeff(lkd["comp_tab"])
-        )
+    # batch ALL basis conversions into two vmapped dispatches (the eager
+    # per-poly loop costs one device roundtrip per call on a remote TPU)
+    _q_span = _Span("quotient (conversions + h)"); _q_span.__enter__()
+    lag_stack = (
+        advice_lag + instance_lag + perm_zs
+        + [lkd[k] for lkd in lookups for k in
+           ("z", "a_p", "s_p", "comp_in", "comp_tab")]
+    )
+    coeff_stack = _batched_l2c(domain, jnp.stack(lag_stack))
+    ext_stack = _batched_c2e(domain, coeff_stack)
+    coeffs = [coeff_stack[i] for i in range(len(lag_stack))]
+    exts = [ext_stack[i] for i in range(len(lag_stack))]
+    na = len(advice_lag)
+    ni = len(instance_lag)
+    nz = len(perm_zs)
+    advice_coeff, advice_ext = coeffs[:na], exts[:na]
+    instance_coeff, instance_ext = coeffs[na:na + ni], exts[na:na + ni]
+    perm_z_coeff = coeffs[na + ni:na + ni + nz]
+    perm_z_ext = exts[na + ni:na + ni + nz]
+    off = na + ni + nz
+    for l_i, lkd in enumerate(lookups):
+        base = off + 5 * l_i
+        lkd["z_coeff"], lkd["z_ext"] = coeffs[base], exts[base]
+        lkd["a_p_coeff"], lkd["a_p_ext"] = coeffs[base + 1], exts[base + 1]
+        lkd["s_p_coeff"], lkd["s_p_ext"] = coeffs[base + 2], exts[base + 2]
+        lkd["in_ext"] = exts[base + 3]
+        lkd["tab_ext"] = exts[base + 4]
 
     lk_ext = [
         dict(z=l["z_ext"], a_p=l["a_p_ext"], s_p=l["s_p_ext"],
@@ -228,8 +267,9 @@ def create_proof(
     # (the padding pieces up to ext_n/n are identically zero)
     num_pieces = cs.degree() - 1
     h_pieces = [h_coeff[:, i * n : (i + 1) * n] for i in range(num_pieces)]
-    for piece in h_pieces:
-        t.write_point(commit_coeff(pk.srs, piece))
+    for pt in commit_coeff_batch(pk.srs, h_pieces):
+        t.write_point(pt)
+    _q_span.__exit__()
 
     x = t.squeeze_challenge()
     LAST_DEBUG['x'] = x
@@ -239,43 +279,50 @@ def create_proof(
     # --- phase 7: evaluations ---
     queries = []  # (coeffs, rotation, eval_int) in multiopen order
 
-    _pow_cache = {0: xpow}
+    # collect the full opening schedule, then evaluate everything in ONE
+    # batched device call (SURVEY §3.2's transcript-absorb phase)
+    sq = cs.sorted_queries()
+    plan = []  # (coeffs, rot)
+    for idx, rot in sq[CS.ADVICE]:
+        plan.append((advice_coeff[idx], rot))
+    for idx, rot in sq[CS.FIXED]:
+        plan.append((pk.fixed_coeff[idx], rot))
+    for idx, rot in sq[CS.INSTANCE]:
+        plan.append((instance_coeff[idx], rot))
+    plan.append((random_coeff, 0))
+    for sc in pk.sigma_coeff:
+        plan.append((sc, 0))
+    for i, zc in enumerate(perm_z_coeff):
+        plan.append((zc, 0))
+        plan.append((zc, 1))
+    for i in range(len(perm_z_coeff) - 1):
+        plan.append((perm_z_coeff[i], u))
+    for lkd in lookups:
+        plan.append((lkd["z_coeff"], 0))
+        plan.append((lkd["z_coeff"], 1))
+        plan.append((lkd["a_p_coeff"], 0))
+        plan.append((lkd["a_p_coeff"], -1))
+        plan.append((lkd["s_p_coeff"], 0))
 
-    def open_at(coeffs, rot, write=True):
+    rots = sorted({rot for _, rot in plan})
+    pow_tables = {}
+    for rot in rots:
         point = x * pow(omega, rot, R) % R if rot >= 0 else (
             x * pow(pow(omega, -rot, R), R - 2, R) % R
         )
-        if rot not in _pow_cache:
-            _pow_cache[rot] = P.power_table(SPEC, _mont_const(point), n)
-        pt_pow = _pow_cache[rot]
-        # decode(mont=True) performs the Montgomery conversion itself
-        ev = _eval_to_int(P.eval_at(SPEC, coeffs, pt_pow))
+        pow_tables[rot] = (
+            xpow if rot == 0 else P.power_table(SPEC, _mont_const(point), n)
+        )
+    _e_span = _Span("evaluations"); _e_span.__enter__()
+    stacked = jnp.stack([c for c, _ in plan], axis=1)  # (L, Q, n)
+    pows = jnp.stack([pow_tables[rot] for _, rot in plan], axis=1)
+    evals_dev = M.normalize(SPEC, M.from_mont(
+        SPEC, P.mod_sum(SPEC, M.montmul(SPEC, stacked, pows))[..., 0]
+    ))
+    ev_ints = limbs_to_ints_fast(np.asarray(evals_dev))
+    for (coeffs, rot), ev in zip(plan, ev_ints):
         queries.append((coeffs, rot, ev))
-        if write:
-            t.write_scalar(ev)
-        return ev
-
-    sq = cs.sorted_queries()
-    for idx, rot in sq[CS.ADVICE]:
-        open_at(advice_coeff[idx], rot)
-    for idx, rot in sq[CS.FIXED]:
-        open_at(pk.fixed_coeff[idx], rot)
-    for idx, rot in sq[CS.INSTANCE]:
-        open_at(instance_coeff[idx], rot)
-    open_at(random_coeff, 0)
-    for sc in pk.sigma_coeff:
-        open_at(sc, 0)
-    for i, zc in enumerate(perm_z_coeff):
-        open_at(zc, 0)
-        open_at(zc, 1)
-    for i in range(len(perm_z_coeff) - 1):
-        open_at(perm_z_coeff[i], u)
-    for lkd in lookups:
-        open_at(lkd["z_coeff"], 0)
-        open_at(lkd["z_coeff"], 1)
-        open_at(lkd["a_p_coeff"], 0)
-        open_at(lkd["a_p_coeff"], -1)
-        open_at(lkd["s_p_coeff"], 0)
+        t.write_scalar(ev)
 
     # combined quotient poly sum_i x^{n i} h_i, opened at x (eval not written:
     # the verifier recomputes the expected value from the other openings)
@@ -290,13 +337,15 @@ def create_proof(
     LAST_DEBUG['evals'] = [(id(c), rot, ev) for c, rot, ev in queries]
     queries.append((h_combined, 0, h_eval))
 
+    _e_span.__exit__()
     # --- phase 8: batch opening ---
-    if scheme == "shplonk":
-        _shplonk_open(pk, t, queries, x, domain)
-    elif scheme == "gwc":
-        _gwc_open(pk, t, queries, x, domain)
-    else:
-        raise ValueError(f"unknown multiopen scheme {scheme!r}")
+    with _Span("multiopen"):
+        if scheme == "shplonk":
+            _shplonk_open(pk, t, queries, x, domain)
+        elif scheme == "gwc":
+            _gwc_open(pk, t, queries, x, domain)
+        else:
+            raise ValueError(f"unknown multiopen scheme {scheme!r}")
     return t.finalize()
 
 
@@ -704,3 +753,19 @@ def _gwc_open(pk: ProvingKey, t, queries, x: int, domain: Domain):
         W_cos = M.montmul(SPEC, F_cos, M.batch_inverse(SPEC, den, axis=1))
         W_coeff = _from_coset_evals(domain, W_cos)
         t.write_point(commit_coeff(pk.srs, W_coeff))
+
+
+import jax as _jax
+
+
+def _batched_l2c(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
+    """(m, L, n) lagrange stack -> coeff stack via one vmapped dispatch."""
+    from ..ops import ntt as N
+
+    fn = _jax.vmap(lambda a: N.intt(SPEC, a, domain.k))
+    return fn(stack)
+
+
+def _batched_c2e(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
+    fn = _jax.vmap(lambda a: domain.coeff_to_extended(a))
+    return fn(stack)
