@@ -215,6 +215,31 @@ def add_unsafe(curve: CurveSpec, p: JPoint, q: JPoint) -> JPoint:
     return out
 
 
+def add_unsafe_fast(curve: CurveSpec, p: JPoint, q: JPoint) -> JPoint:
+    """add_unsafe via the fused Pallas kernel when WH2_PALLAS=1 (padding
+    the batch to the kernel block size), else the XLA path."""
+    import os
+
+    n = p.x.shape[-1]
+    if not os.environ.get("WH2_PALLAS") or p.x.ndim != 2:
+        return add_unsafe(curve, p, q)
+    from .pallas_kernels import BLOCK, ec_add_unsafe_pallas
+
+    pad = (-n) % BLOCK
+    if pad:
+        inf = infinity((pad,), curve)
+
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=1)
+
+        p = JPoint(cat(p.x, inf.x), cat(p.y, inf.y), cat(p.z, inf.z))
+        q = JPoint(cat(q.x, inf.x), cat(q.y, inf.y), cat(q.z, inf.z))
+    x, y, z = ec_add_unsafe_pallas(
+        curve.field, (p.x, p.y, p.z), (q.x, q.y, q.z)
+    )
+    return JPoint(x[:, :n], y[:, :n], z[:, :n])
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def scalar_mul(curve: CurveSpec, scalar_bits: jnp.ndarray, p: JPoint) -> JPoint:
     """Batched double-and-add: scalar_bits is (nbits, *batch) int32 of 0/1,

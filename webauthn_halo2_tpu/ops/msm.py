@@ -84,7 +84,6 @@ def _prefix_scan_points(curve: CurveSpec, pts: JPoint, seg: jnp.ndarray,
     m = seg.shape[0]
     npasses = max(m - 1, 1).bit_length()
     pos = jnp.arange(m)
-    add_fn = E.add if complete else E.add_unsafe
 
     def body(p, state):
         x, y, z, s = state
@@ -93,7 +92,7 @@ def _prefix_scan_points(curve: CurveSpec, pts: JPoint, seg: jnp.ndarray,
         ry = jnp.roll(y, d, axis=1)
         rz = jnp.roll(z, d, axis=1)
         rs = jnp.roll(s, d)
-        cand = add_fn(curve, JPoint(rx, ry, rz), JPoint(x, y, z))
+        cand = (E.add_unsafe_fast if not complete else E.add)(curve, JPoint(rx, ry, rz), JPoint(x, y, z))
         ok = (s == rs) & (pos >= d)
         x = M.select(ok, cand.x, x)
         y = M.select(ok, cand.y, y)
@@ -179,7 +178,7 @@ def _window_bucket_sum(curve: CurveSpec, spts: JPoint, sdig: jnp.ndarray,
         # interior runs: distinct lanes always carry distinct digits here
         target = jnp.where(emit_scatter, st["cur"], nb)
         buckets = _scatter_set(st["buckets"], target, st["acc"])
-        grown = E.add_unsafe(curve, st["acc"], pt)
+        grown = E.add_unsafe_fast(curve, st["acc"], pt)
         reset = new_run | is_first_step
         acc = E.point_select(reset, pt, grown)
         return dict(
