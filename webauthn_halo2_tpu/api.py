@@ -123,6 +123,40 @@ def verify_evm(proof: bytes, verifying_key_path: str = "",
                         transcript=KeccakRead(proof))
 
 
-def generate_verifier(*args, **kwargs):
-    """EVM verifier codegen (ecdsa_p256.rs:275-327 / snark-verifier)."""
-    raise NotImplementedError("EVM verifier codegen lands in the next round")
+def generate_verifier(
+    verifying_key_path: str = "",
+    sol_code_path: str = "verifier.sol",
+    deploy_code_path: str = "verifier.code",
+    yul_code_path: str = "verifier.yul",
+    valid_proof_hex: str | None = None,
+    params: CircuitParams | None = None,
+) -> None:
+    """EVM verifier codegen (ecdsa_p256.rs:275-327 / snark-verifier parity):
+    writes .yul and .sol artifacts; optionally dry-runs a supplied GWC proof
+    through the Yul interpreter (the revm-parity check, SURVEY §4.4).
+
+    No solc exists in this build environment, so the .code artifact is a
+    manifest pointing at the .yul source to compile externally.
+    """
+    import json as _json
+
+    from .evm.codegen import generate_verifier as _gen
+    from .evm.yul_interp import run_yul_verifier
+
+    params = params or _load_params(verifying_key_path)
+    pk = _keys(params)
+    yul, sol = _gen(pk.vk, pk.srs)
+    if valid_proof_hex:
+        assert run_yul_verifier(yul, bytes.fromhex(valid_proof_hex)), (
+            "generated verifier rejected the supplied valid proof"
+        )
+    with open(yul_code_path, "w") as f:
+        f.write(yul)
+    with open(sol_code_path, "w") as f:
+        f.write(sol)
+    with open(deploy_code_path, "w") as f:
+        _json.dump({
+            "note": "compile the .yul with `solc --strict-assembly` "
+                    "(no solc in this build environment)",
+            "yul": yul_code_path,
+        }, f)

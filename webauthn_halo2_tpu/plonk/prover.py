@@ -175,9 +175,10 @@ def create_proof(
     perm_cols = cs.perm_columns
     perm_zs = []
     carry_in = 1  # z chains across chunks
-    omega_pows_mont = jnp.asarray(
-        SPEC.encode([int(v) for v in pk.omega_pows_np])
-    )
+    if not hasattr(pk, "_omega_mont"):
+        std = jnp.asarray(ints_to_limbs_fast([int(v) for v in pk.omega_pows_np]))
+        pk._omega_mont = M.to_mont(SPEC, std)
+    omega_pows_mont = pk._omega_mont
     for cstart in range(0, len(perm_cols), chunk_len):
         chunk = list(range(cstart, min(cstart + chunk_len, len(perm_cols))))
         num = None
@@ -187,7 +188,7 @@ def create_proof(
             vcol = col_getter_lag(kind, idx, 0)
             delta_j = pow(BN254_FR_DELTA, j, R)
             idv = M.montmul(SPEC, _mont_const(delta_j), omega_pows_mont)
-            sig = jnp.asarray(SPEC.encode(pk.sigma_values[j]))
+            sig = pk.sigma_lagrange[j]
             nterm = M.add(SPEC, M.add(SPEC, vcol, M.montmul(SPEC, beta_t, idv)), gamma_t)
             dterm = M.add(SPEC, M.add(SPEC, vcol, M.montmul(SPEC, beta_t, sig)), gamma_t)
             num = nterm if num is None else M.montmul(SPEC, num, nterm)
@@ -220,47 +221,42 @@ def create_proof(
     LAST_DEBUG['y'] = y
 
     # --- phase 6: quotient ---
-    # batch ALL basis conversions into two vmapped dispatches (the eager
-    # per-poly loop costs one device roundtrip per call on a remote TPU)
+    # Batch ALL basis conversions into two vmapped dispatches, and keep the
+    # extended-domain polys ONLY as one stacked tensor: XLA slicing makes
+    # copies, so unstacking 23 x (L, 4n) tensors would double ~1.5 GB of
+    # HBM (the round-1 OOM). The quotient jit slices the stacks internally.
     _q_span = _Span("quotient (conversions + h)"); _q_span.__enter__()
-    lag_stack = (
-        advice_lag + instance_lag + perm_zs
-        + [lkd[k] for lkd in lookups for k in
-           ("z", "a_p", "s_p", "comp_in", "comp_tab")]
-    )
-    coeff_stack = _batched_l2c(domain, jnp.stack(lag_stack))
-    ext_stack = _batched_c2e(domain, coeff_stack)
-    coeffs = [coeff_stack[i] for i in range(len(lag_stack))]
-    exts = [ext_stack[i] for i in range(len(lag_stack))]
     na = len(advice_lag)
     ni = len(instance_lag)
     nz = len(perm_zs)
-    advice_coeff, advice_ext = coeffs[:na], exts[:na]
-    instance_coeff, instance_ext = coeffs[na:na + ni], exts[na:na + ni]
-    perm_z_coeff = coeffs[na + ni:na + ni + nz]
-    perm_z_ext = exts[na + ni:na + ni + nz]
-    off = na + ni + nz
-    for l_i, lkd in enumerate(lookups):
-        base = off + 5 * l_i
-        lkd["z_coeff"], lkd["z_ext"] = coeffs[base], exts[base]
-        lkd["a_p_coeff"], lkd["a_p_ext"] = coeffs[base + 1], exts[base + 1]
-        lkd["s_p_coeff"], lkd["s_p_ext"] = coeffs[base + 2], exts[base + 2]
-        lkd["in_ext"] = exts[base + 3]
-        lkd["tab_ext"] = exts[base + 4]
+    nlk = len(lookups)
+    lag_stack = jnp.stack(
+        advice_lag + instance_lag + perm_zs
+        + [lkd[k] for lkd in lookups for k in
+           ("z", "a_p", "s_p", "comp_in", "comp_tab")]
+        + [random_lag]
+    )
+    # free the per-poly Lagrange tensors (values live on in lag_stack)
+    advice_lag.clear()
+    perm_zs.clear()
+    for lkd in lookups:
+        lkd["z"] = lkd["a_p"] = lkd["s_p"] = None
+        lkd["comp_in"] = lkd["comp_tab"] = None
+    random_lag = None
+    coeff_stack = _batched_l2c(domain, lag_stack)
+    lag_stack = None
+    ext_stack = _batched_c2e(domain, coeff_stack)
+    random_coeff = coeff_stack[na + ni + nz + 5 * nlk]
 
-    lk_ext = [
-        dict(z=l["z_ext"], a_p=l["a_p_ext"], s_p=l["s_p_ext"],
-             inp=l["in_ext"], tab=l["tab_ext"])
-        for l in lookups
-    ]
-    qfn = _quotient_fn(cs, u, ratio)
+    offsets = dict(adv=0, inst=na, z=na + ni, lk=na + ni + nz)
+    qfn = _quotient_fn(cs, u, ratio, offsets, na, ni, nz, nlk)
     h_ext = qfn(
-        tuple(pk.fixed_ext), tuple(advice_ext), tuple(instance_ext),
-        tuple(perm_z_ext), tuple(pk.sigma_ext), tuple(lk_ext),
+        pk.fixed_ext, pk.sigma_ext, ext_stack,
         pk.l0_ext, pk.llast_ext, pk.lblind_ext, pk.x_ext,
         jnp.asarray(domain.zh_inv_extended_np()),
         beta_t, gamma_t, _mont_const(y),
     )
+    ext_stack = None
     h_coeff = domain.extended_to_coeff(h_ext)
 
     # quotient degree < (d-1)*n: exactly d-1 pieces of n coefficients
@@ -282,27 +278,39 @@ def create_proof(
     # collect the full opening schedule, then evaluate everything in ONE
     # batched device call (SURVEY §3.2's transcript-absorb phase)
     sq = cs.sorted_queries()
-    plan = []  # (coeffs, rot)
+    nz = len([1 for _ in range(cs.num_perm_chunks())])
+    z_base = offsets["z"]
+    lk_base = offsets["lk"]
+    plan = []  # (source, rot): source = ("stack", i) | ("arr", tensor)
     for idx, rot in sq[CS.ADVICE]:
-        plan.append((advice_coeff[idx], rot))
+        plan.append((("stack", idx), rot))
     for idx, rot in sq[CS.FIXED]:
-        plan.append((pk.fixed_coeff[idx], rot))
+        plan.append((("arr", pk.fixed_coeff[idx]), rot))
     for idx, rot in sq[CS.INSTANCE]:
-        plan.append((instance_coeff[idx], rot))
-    plan.append((random_coeff, 0))
-    for sc in pk.sigma_coeff:
-        plan.append((sc, 0))
-    for i, zc in enumerate(perm_z_coeff):
-        plan.append((zc, 0))
-        plan.append((zc, 1))
-    for i in range(len(perm_z_coeff) - 1):
-        plan.append((perm_z_coeff[i], u))
-    for lkd in lookups:
-        plan.append((lkd["z_coeff"], 0))
-        plan.append((lkd["z_coeff"], 1))
-        plan.append((lkd["a_p_coeff"], 0))
-        plan.append((lkd["a_p_coeff"], -1))
-        plan.append((lkd["s_p_coeff"], 0))
+        plan.append((("stack", offsets["inst"] + idx), rot))
+    plan.append((("stack", lk_base + 5 * nlk), 0))  # random poly
+    for j in range(len(pk.sigma_coeff)):
+        plan.append((("arr", pk.sigma_coeff[j]), 0))
+    for i in range(nz):
+        plan.append((("stack", z_base + i), 0))
+        plan.append((("stack", z_base + i), 1))
+    for i in range(nz - 1):
+        plan.append((("stack", z_base + i), u))
+    for li in range(nlk):
+        plan.append((("stack", lk_base + 5 * li), 0))
+        plan.append((("stack", lk_base + 5 * li), 1))
+        plan.append((("stack", lk_base + 5 * li + 1), 0))
+        plan.append((("stack", lk_base + 5 * li + 1), -1))
+        plan.append((("stack", lk_base + 5 * li + 2), 0))
+
+    _poly_cache: dict = {}
+
+    def _poly_of(source):
+        kind_, v = source
+        key = (kind_, v) if kind_ == "stack" else (kind_, id(v))
+        if key not in _poly_cache:
+            _poly_cache[key] = coeff_stack[v] if kind_ == "stack" else v
+        return _poly_cache[key]
 
     rots = sorted({rot for _, rot in plan})
     pow_tables = {}
@@ -314,14 +322,15 @@ def create_proof(
             xpow if rot == 0 else P.power_table(SPEC, _mont_const(point), n)
         )
     _e_span = _Span("evaluations"); _e_span.__enter__()
-    stacked = jnp.stack([c for c, _ in plan], axis=1)  # (L, Q, n)
+    stacked = jnp.stack([_poly_of(s) for s, _ in plan], axis=1)  # (L, Q, n)
     pows = jnp.stack([pow_tables[rot] for _, rot in plan], axis=1)
     evals_dev = M.normalize(SPEC, M.from_mont(
         SPEC, P.mod_sum(SPEC, M.montmul(SPEC, stacked, pows))[..., 0]
     ))
     ev_ints = limbs_to_ints_fast(np.asarray(evals_dev))
-    for (coeffs, rot), ev in zip(plan, ev_ints):
-        queries.append((coeffs, rot, ev))
+    stacked = pows = None
+    for (source, rot), ev in zip(plan, ev_ints):
+        queries.append((_poly_of(source), rot, ev))
         t.write_scalar(ev)
 
     # combined quotient poly sum_i x^{n i} h_i, opened at x (eval not written:
@@ -598,14 +607,11 @@ def _vanishing_coset(domain: Domain, pts: list[int]) -> jnp.ndarray:
 _QUOTIENT_CACHE: dict = {}
 
 
-def _quotient_fn(cs: CS.ConstraintSystem, u: int, ratio: int):
-    """Jitted h_ext builder, cached per constraint system identity.
-
-    Bundling the whole constraint-evaluation + Horner + Z_H division into
-    one XLA program keeps the remote-TPU dispatch count flat regardless of
-    circuit size (each eager op costs ~ms over the device tunnel).
-    """
-    key = (id(cs), u, ratio)
+def _quotient_fn(cs: CS.ConstraintSystem, u: int, ratio: int,
+                 offsets: dict, na: int, ni: int, nz: int, nlk: int):
+    """Jitted h_ext builder over STACKED extended tensors (sliced in-graph,
+    so no unstacked copies ever materialize in HBM), cached per cs."""
+    key = (id(cs), u, ratio, na, ni, nz, nlk)
     if key in _QUOTIENT_CACHE:
         return _QUOTIENT_CACHE[key]
 
@@ -613,19 +619,34 @@ def _quotient_fn(cs: CS.ConstraintSystem, u: int, ratio: int):
 
     chunk_len = cs.permutation_chunk_len()
     perm_cols = cs.perm_columns
+    adv_off, inst_off = offsets["adv"], offsets["inst"]
+    z_off, lk_off = offsets["z"], offsets["lk"]
 
-    def core(fixed_ext, advice_ext, instance_ext, perm_z_ext, sigma_ext,
-             lk_ext, l0, llast, lblind, x_ext, zh_inv, beta_t, gamma_t, y_t):
+    def core(fixed_ext, sigma_ext, ext_stack, l0, llast, lblind, x_ext,
+             zh_inv, beta_t, gamma_t, y_t):
         def col_getter_ext(kind, idx, rot):
-            src_ = {
-                CS.FIXED: fixed_ext,
-                CS.ADVICE: advice_ext,
-                CS.INSTANCE: instance_ext,
-            }[kind][idx]
+            if kind == CS.FIXED:
+                src_ = fixed_ext[idx]
+            elif kind == CS.ADVICE:
+                src_ = ext_stack[adv_off + idx]
+            else:
+                src_ = ext_stack[inst_off + idx]
             return jnp.roll(src_, -rot * ratio, axis=1) if rot else src_
 
         def rot_ext(tensor, rot):
             return jnp.roll(tensor, -rot * ratio, axis=1)
+
+        perm_z_ext = [ext_stack[z_off + i] for i in range(nz)]
+        lk_ext = [
+            dict(
+                z=ext_stack[lk_off + 5 * li],
+                a_p=ext_stack[lk_off + 5 * li + 1],
+                s_p=ext_stack[lk_off + 5 * li + 2],
+                inp=ext_stack[lk_off + 5 * li + 3],
+                tab=ext_stack[lk_off + 5 * li + 4],
+            )
+            for li in range(nlk)
+        ]
 
         one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
         active = M.sub(SPEC, one_t, M.add(SPEC, llast, lblind))
