@@ -77,7 +77,6 @@ def test_ec_chip_add_double():
     assert run_mock(b) == []
 
 
-@pytest.mark.slow
 def test_ecdsa_gadget_mock():
     """Full ECDSA verify circuit at the production degree (k=17)."""
     b = CircuitBuilder(num_advice=7, num_lookup_advice=1, lookup_bits=16)

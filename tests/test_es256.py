@@ -37,7 +37,6 @@ def test_es256_synthesis_and_rejection():
         circ.build(bad)
 
 
-@pytest.mark.slow
 def test_es256_mock_proves():
     circ = ES256Circuit()
     cs, fixed, advice, copies = circ.build(fresh_inputs())

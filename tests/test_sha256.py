@@ -25,7 +25,6 @@ def test_sha256_witness_matches_hashlib():
         assert got == hashlib.sha256(msg).digest(), msg
 
 
-@pytest.mark.slow
 def test_sha256_constraints_satisfied():
     """Full mock-prove at k=17 (the pair tables need 2^16 rows)."""
     msg = secrets.token_bytes(69)  # the ES256 message length
