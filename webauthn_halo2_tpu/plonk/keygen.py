@@ -151,31 +151,43 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         fixed_ext.append(domain.coeff_to_extended(coeff))
     fixed_comms = commit_lagrange_batch(srs, fixed_lagrange)
 
-    # --- permutation sigmas ---
+    # --- permutation sigmas (labels computed on-device) ---
     omega = domain.omega
     omega_pows = np.empty(n, dtype=object)
     acc = 1
     for i in range(n):
         omega_pows[i] = acc
         acc = acc * omega % R
-    deltas = [pow(DELTA, j, R) for j in range(len(cs.perm_columns))]
+    ncols = len(cs.perm_columns)
+    deltas = [pow(DELTA, j, R) for j in range(ncols)]
 
     mapping = assemble_permutation(cs, n, copies)
-    sigma_values, sigma_lagrange, sigma_coeff, sigma_ext = [], [], [], []
-    id_values = []
-    for j in range(len(cs.perm_columns)):
-        ids = [deltas[j] * int(omega_pows[i]) % R for i in range(n)]
-        id_values.append(ids)
-        tgt = mapping[j]
-        sig = [
-            deltas[int(tc)] * int(omega_pows[int(tr)]) % R for tc, tr in tgt
-        ]
-        sigma_values.append(sig)
-        lag = encode_column(sig)
-        coeff = domain.lagrange_to_coeff(lag)
-        sigma_lagrange.append(lag)
-        sigma_coeff.append(coeff)
-        sigma_ext.append(domain.coeff_to_extended(coeff))
+    sigma_values: list = []  # host copies materialized lazily if ever needed
+    id_values: list = []
+    sigma_lagrange, sigma_coeff, sigma_ext = [], [], []
+    if ncols:
+        omega_mont = M.to_mont(
+            FR_SPEC,
+            jnp.asarray(ints_to_limbs_fast([int(v) for v in omega_pows])),
+        )
+        delta_mont = jnp.asarray(
+            np.concatenate(
+                [ints_to_limbs_fast([d]) for d in deltas], axis=1
+            )
+        )
+        delta_mont = M.to_mont(FR_SPEC, delta_mont)  # (L, ncols)
+        tgt_col = jnp.asarray(mapping[:, :, 0].astype(np.int32))  # (ncols, n)
+        tgt_row = jnp.asarray(mapping[:, :, 1].astype(np.int32))
+        # sigma_j[i] = delta^(tc) * omega^(tr): one batched montmul
+        d_g = delta_mont[:, tgt_col]  # (L, ncols, n)
+        w_g = omega_mont[:, tgt_row]
+        sig_stack = M.montmul(FR_SPEC, d_g, w_g)  # (L, ncols, n) mont
+        for j in range(ncols):
+            lag = sig_stack[:, j]
+            coeff = domain.lagrange_to_coeff(lag)
+            sigma_lagrange.append(lag)
+            sigma_coeff.append(coeff)
+            sigma_ext.append(domain.coeff_to_extended(coeff))
     perm_comms = commit_lagrange_batch(srs, sigma_lagrange) if sigma_lagrange else []
 
     # --- indicator polynomials ---

@@ -779,14 +779,22 @@ def _gwc_open(pk: ProvingKey, t, queries, x: int, domain: Domain):
 import jax as _jax
 
 
+_CONV_CHUNK = 6  # polys per vmapped conversion call: bounds the transient
+# NTT working set to ~chunk * (L, 4n) * a-few-stage-buffers (HBM is 16 GB)
+
+
 def _batched_l2c(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
-    """(m, L, n) lagrange stack -> coeff stack via one vmapped dispatch."""
+    """(m, L, n) lagrange stack -> coeff stack, chunked vmapped dispatches."""
     from ..ops import ntt as N
 
     fn = _jax.vmap(lambda a: N.intt(SPEC, a, domain.k))
-    return fn(stack)
+    outs = [fn(stack[i : i + _CONV_CHUNK])
+            for i in range(0, stack.shape[0], _CONV_CHUNK)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _batched_c2e(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
     fn = _jax.vmap(lambda a: domain.coeff_to_extended(a))
-    return fn(stack)
+    outs = [fn(stack[i : i + _CONV_CHUNK])
+            for i in range(0, stack.shape[0], _CONV_CHUNK)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
