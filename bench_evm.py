@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""EVM-path end-to-end on TPU: GWC+Keccak proof -> generated Yul verifier
+-> interpreter dry-run (BASELINE config 4: "EVM-transcript proof +
+generate_evm_verifier, verified"). Writes the verifier artifacts
+(results/P256Verifier.{yul,sol,code}) — the reference's generated-artifact
+parity (proving-server/P256Verifier.*).
+"""
+import os
+import secrets
+import sys
+import time
+
+os.environ.setdefault("WH2_SRS_DIR", os.path.join(os.path.dirname(__file__), "artifacts"))
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", "jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from webauthn_halo2_tpu import api
+    from webauthn_halo2_tpu.circuits.ecdsa_circuit import CircuitParams
+    from webauthn_halo2_tpu.fields.constants import P256_N
+    from webauthn_halo2_tpu.fields.ref_curve import ecdsa_keygen, ecdsa_sign
+
+    params = CircuitParams()
+    sk, pub = ecdsa_keygen()
+    m = secrets.randbelow(P256_N)
+    r, s = ecdsa_sign(m, sk)
+
+    def le(x):
+        return int(x).to_bytes(32, "little")
+
+    t0 = time.time()
+    proof = api.generate_proof_evm(
+        le(r), le(s), le(pub[0]), le(pub[1]), le(m), params=params
+    )
+    log(f"evm proof: {time.time()-t0:.1f}s, {len(proof)} bytes")
+
+    t0 = time.time()
+    ok = api.verify_evm(proof, params=params)
+    log(f"host verify_evm: {ok} in {time.time()-t0:.1f}s")
+    assert ok
+
+    os.makedirs("results", exist_ok=True)
+    t0 = time.time()
+    api.generate_verifier(
+        sol_code_path="results/P256Verifier.sol",
+        deploy_code_path="results/P256Verifier.code",
+        yul_code_path="results/P256Verifier.yul",
+        valid_proof_hex=proof.hex(),
+        params=params,
+    )
+    log(f"generate_verifier + yul dry-run: OK in {time.time()-t0:.1f}s")
+
+    # tamper check through the interpreter
+    from webauthn_halo2_tpu.evm.yul_interp import run_yul_verifier
+
+    yul = open("results/P256Verifier.yul").read()
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 1
+    assert not run_yul_verifier(yul, bytes(bad)), "tampered proof accepted!"
+    log("tampered proof correctly rejected")
+    print('{"metric": "evm_path_e2e", "value": 1, "unit": "ok"}')
+
+
+if __name__ == "__main__":
+    main()
