@@ -42,10 +42,17 @@ def commit_lagrange(srs: SRS, col_mont: jnp.ndarray):
 
 
 def _pad8(cols: list) -> list:
-    """Pad the batch to a multiple of 8 so the vmapped MSM graph compiles
-    once per (n, 8k) shape instead of once per batch size."""
-    pad = (-len(cols)) % 8
-    return cols + [cols[0]] * pad
+    """Pad the batch size up to the next power of two (max 8): one compiled
+    vmapped-MSM graph per bucket, without paying 8x work for a 2-column
+    commit (the lookup/h batches are small)."""
+    B = len(cols)
+    target = 1
+    while target < min(B, 8) or (B > 8 and target < -(-B // 8) * 8):
+        target *= 2 if target < 8 else 1
+        if target >= 8 and B > 8:
+            target = -(-B // 8) * 8
+            break
+    return cols + [cols[0]] * (target - B)
 
 
 def commit_lagrange_batch(srs: SRS, cols: list) -> list:
