@@ -33,22 +33,30 @@ def _montmul_body(spec: FieldSpec, a, b, p_col):
     Identical math to modops.montmul; p_col is the (L, 1) modulus tensor
     passed as a kernel input (Pallas kernels cannot capture array consts).
     """
+    # note: no .at[] updates — Mosaic has no scatter; rows are rebuilt
+    # with concatenates (which lower to VMEM shuffles)
     acc = jnp.zeros_like(b)
     for i in range(L):
         acc = acc + a[i] * b
         m = ((acc[0] & MASK) * spec.pinv8) & MASK
         acc = acc + m * p_col
         carry = acc[0] >> B
-        acc = jnp.concatenate([acc[1:], jnp.zeros_like(acc[:1])], axis=0)
-        acc = acc.at[0].add(carry)
+        acc = jnp.concatenate(
+            [acc[1:2] + carry[None], acc[2:], jnp.zeros_like(acc[:1])], axis=0
+        )
     # 3 carry rounds (same bounds as modops.montmul)
     for _ in range(3):
-        lo = acc & MASK
-        hi = acc >> B
-        shifted = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
-        out = lo + shifted
-        acc = out.at[L - 1].add(hi[L - 1] << B)
+        acc = _carry_round_body(acc)
     return acc
+
+
+def _carry_round_body(acc):
+    lo = acc & MASK
+    hi = acc >> B
+    shifted = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+    out = lo + shifted
+    top = out[L - 1 :] + (hi[L - 1 :] << B)
+    return jnp.concatenate([out[: L - 1], top], axis=0)
 
 
 def _montmul_kernel(spec, a_ref, b_ref, p_ref, o_ref):
@@ -82,17 +90,11 @@ def montmul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
 
 def _lazy_reduce_body(spec: FieldSpec, acc, c256):
     for _ in range(2):
-        lo = acc & MASK
-        hi = acc >> B
-        shifted = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
-        acc = (lo + shifted).at[L - 1].add(hi[L - 1] << B)
+        acc = _carry_round_body(acc)
     h = acc[L - 1]
-    acc = acc.at[L - 1].set(0)
+    acc = jnp.concatenate([acc[: L - 1], jnp.zeros_like(acc[:1])], axis=0)
     acc = acc + h * c256
-    lo = acc & MASK
-    hi = acc >> B
-    shifted = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
-    return (lo + shifted).at[L - 1].add(hi[L - 1] << B)
+    return _carry_round_body(acc)
 
 
 def _sub_body(spec: FieldSpec, a, b, pad, c256):
