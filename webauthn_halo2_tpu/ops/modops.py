@@ -88,6 +88,27 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return lazy_reduce(spec, pad - a)
 
 
+def _montmul_use_pallas(nbatch: int) -> bool:
+    """Route big-batch montmuls to the fused Pallas kernel on TPU.
+
+    The XLA lowering materializes each of the 33 CIOS limb shifts as a
+    buffer copy; the Pallas kernel keeps the accumulator register/VMEM
+    resident (~2x at (33, 2^17), more in chained graphs)."""
+    import os
+
+    mode = os.environ.get("WH2_MONTMUL_IMPL", "auto")
+    if mode == "xla":
+        return False
+    from .pallas_kernels import BLOCK
+
+    # High threshold: every distinct shape costs a slow remote Mosaic
+    # compile under the tunneled backend, so only the dominant full-column
+    # shapes (n=2^17, ext_n=2^19 and scan halves) route to the kernel.
+    if nbatch < (1 << 16) or nbatch % BLOCK:
+        return False
+    return mode == "pallas" or jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def montmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """CIOS Montgomery multiply: a*b*R^-1 mod p (result < 2p, lazy limbs).
@@ -97,6 +118,16 @@ def montmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
     b = jnp.broadcast_to(b, a.shape)
+    nbatch = 1
+    for d in a.shape[1:]:
+        nbatch *= d
+    if _montmul_use_pallas(nbatch):
+        from .pallas_kernels import montmul_pallas
+
+        out = montmul_pallas(
+            spec, a.reshape(L, nbatch), b.reshape(L, nbatch)
+        )
+        return out.reshape(a.shape)
     p_l = _bc(spec.p_limbs, a.ndim)
     acc = jnp.zeros_like(b)
     for i in range(L):

@@ -220,7 +220,20 @@ def _window_bucket_sum(curve: CurveSpec, spts: JPoint, sdig: jnp.ndarray,
     return _pt_cols(summed, jnp.arange(nb - 2, nb - 1))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _use_fused(n: int) -> bool:
+    """Route to the fused-Pallas engine (ops/msm_pallas.py) on TPU."""
+    import os
+
+    mode = os.environ.get("WH2_MSM_IMPL", "auto")
+    if mode == "xla":
+        return False
+    from .msm_pallas import DEFAULT_K_LANES, msm_supported
+
+    if not msm_supported(n, DEFAULT_K_LANES):
+        return False
+    return mode == "pallas" or jax.default_backend() == "tpu"
+
+
 def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
         c: int | None = None, lanes: int | None = None) -> JPoint:
     """MSM: sum_i scalars[i] * points[i] -> one Jacobian point (L, 1).
@@ -228,16 +241,37 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     points: (L, n) Jacobian (affine z=1 from the SRS); scalars_mont: (L, n)
     Montgomery-form Fr limbs (the prover's native representation).
     """
-    return _msm_impl(curve, points, scalars_mont, c, lanes)
+    n = scalars_mont.shape[1]
+    if _use_fused(n):
+        from .msm_pallas import msm_pallas_batch
+
+        return msm_pallas_batch(curve, points, scalars_mont[None],
+                                c if c is not None else 13)
+    return _msm_jit(curve, points, scalars_mont, c, lanes)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_jit(curve, points, scalars_mont, c, lanes):
+    return _msm_impl(curve, points, scalars_mont, c, lanes)
+
+
 def msm_batch(curve: CurveSpec, points: JPoint, scalars_batch: jnp.ndarray,
               c: int | None = None, lanes: int | None = None) -> JPoint:
     """B MSMs sharing one base set in ONE dispatch: scalars (B, L, n) ->
-    JPoint of (L, B). vmap puts the whole batch through each serial
-    Pippenger step together, amortizing the per-step latency (this is how
-    the prover commits all advice columns at once)."""
+    JPoint of (L, B). The fused-Pallas engine folds the batch into extra
+    kernel grid rows (TPU); the XLA fallback vmaps the serial Pippenger
+    steps (this is how the prover commits all advice columns at once)."""
+    n = scalars_batch.shape[2]
+    if _use_fused(n):
+        from .msm_pallas import msm_pallas_batch
+
+        return msm_pallas_batch(curve, points, scalars_batch,
+                                c if c is not None else 13)
+    return _msm_batch_jit(curve, points, scalars_batch, c, lanes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_batch_jit(curve, points, scalars_batch, c, lanes):
     res = jax.vmap(
         lambda sc: _msm_impl(curve, points, sc, c, lanes)
     )(scalars_batch)
