@@ -70,7 +70,7 @@ def main():
         m = secrets.randbelow(P256_N)
         r, s = ecdsa_sign(m, sk)
         t0 = time.time()
-        _cs, _fx, advice, _cp = circuit.build(ECDSAInputs(r, s, m, pub), check=False)
+        advice = circuit.witness(ECDSAInputs(r, s, m, pub))
         return advice, time.time() - t0
 
     advice, wt = fresh_witness()

@@ -50,9 +50,7 @@ def main():
         sk, pub = ecdsa_keygen()
         m = secrets.randbelow(P256_N)
         r, s = ecdsa_sign(m, sk)
-        _c, _f, advice, _cp = circuit.build(
-            ECDSAInputs(r, s, m, pub), check=False
-        )
+        advice = circuit.witness(ECDSAInputs(r, s, m, pub))
         create_proof(pk, advice, [])  # warm/compile
         t0 = time.time()
         proof = create_proof(pk, advice, [])

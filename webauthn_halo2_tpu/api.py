@@ -82,7 +82,7 @@ def generate_proof(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
         pk=(le_bytes_to_int(pubkey_x), le_bytes_to_int(pubkey_y)),
     )
     circuit = ECDSACircuit(params)
-    _cs, _fixed, advice, _copies = circuit.build(inputs, check=False)
+    advice = circuit.witness(inputs)
     return create_proof(pk, advice, [])
 
 
@@ -109,7 +109,7 @@ def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
         pk=(le_bytes_to_int(pubkey_x), le_bytes_to_int(pubkey_y)),
     )
     circuit = ECDSACircuit(params)
-    _cs, _fixed, advice, _copies = circuit.build(inputs, check=False)
+    advice = circuit.witness(inputs)
     return create_proof(pk, advice, [], scheme="gwc", transcript=KeccakWrite())
 
 

@@ -39,11 +39,17 @@ class Cell(NamedTuple):
 
 class CircuitBuilder:
     def __init__(self, num_advice: int = 4, num_lookup_advice: int = 1,
-                 lookup_bits: int = 16, check: bool = True):
+                 lookup_bits: int = 16, check: bool = True,
+                 layout: bool = True):
         self.num_advice = num_advice
         self.num_lookup_advice = num_lookup_advice
         self.lookup_bits = lookup_bits
         self.check = check  # witness sanity asserts (off on the hot path)
+        # layout=False: values-only synthesis for per-proof witness
+        # regeneration — selectors/copies/constants are witness-independent
+        # (cached from keygen's run), so the hot path skips all layout
+        # bookkeeping (~2x faster; profile: copies+selector appends dominate)
+        self.layout = layout
         self.columns: list[list[int]] = [[] for _ in range(num_advice)]
         self.selectors: list[list[int]] = [[] for _ in range(num_advice)]
         self._col_rr = 0
@@ -65,21 +71,24 @@ class CircuitBuilder:
         base = len(self.columns[col])
         vals = [v % R for v in values]
         self.columns[col].extend(vals)
-        sel = self.selectors[col]
-        sel.extend([0] * len(vals))
-        if self.check:
-            for o in gate_offsets:
-                assert o + 3 < len(vals)
-                assert (vals[o] + vals[o + 1] * vals[o + 2] - vals[o + 3]) % R == 0, (
-                    "unsatisfied vertical gate in assign_region"
-                )
-                sel[base + o] = 1
-        else:
-            for o in gate_offsets:
-                sel[base + o] = 1
+        if self.layout:
+            sel = self.selectors[col]
+            sel.extend([0] * len(vals))
+            if self.check:
+                for o in gate_offsets:
+                    assert o + 3 < len(vals)
+                    assert (vals[o] + vals[o + 1] * vals[o + 2] - vals[o + 3]) % R == 0, (
+                        "unsatisfied vertical gate in assign_region"
+                    )
+                    sel[base + o] = 1
+            else:
+                for o in gate_offsets:
+                    sel[base + o] = 1
         return [Cell(col, base + i, v) for i, v in enumerate(vals)]
 
     def copy(self, a: Cell, b: Cell) -> None:
+        if not self.layout:
+            return
         if self.check:
             assert a.value == b.value, "copy constraint between unequal values"
         self.copies.append(
@@ -95,6 +104,8 @@ class CircuitBuilder:
         return self.const_rows[v]
 
     def constrain_constant(self, cell: Cell, v: int) -> None:
+        if not self.layout:
+            return
         row = self.constant(v)
         self.copies.append(
             ((CS.ADVICE, cell.col, cell.row), (CS.FIXED_CONST, 0, row))
@@ -281,6 +292,19 @@ class CircuitBuilder:
         self.constrain_constant(prod, 1)
 
     # --- finalization -----------------------------------------------------
+    def finalize_values(self) -> list:
+        """Advice column VALUES only (layout=False fast path): same column
+        order and row placement as finalize(), no cs/fixed/copies."""
+        nl = self.num_lookup_advice
+        lookup_cols: list[list[int]] = [[] for _ in range(nl)]
+        for t_i, (_scol, _srow, val) in enumerate(self.lookup_values):
+            lookup_cols[t_i % nl].append(val)
+        advice = [list(c) for c in self.columns] + lookup_cols
+        for tab in self.pair_tables.values():
+            advice.append([kc.value for kc, _ in tab["pairs"]])
+            advice.append([vc.value for _, vc in tab["pairs"]])
+        return advice
+
     def finalize(self, k: int):
         """Produce (cs, fixed_cols, advice_cols, copies) for keygen/prover.
 

@@ -107,6 +107,23 @@ class ECDSACircuit:
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
         return b.finalize(p.degree)
 
+    def witness(self, inputs: ECDSAInputs) -> list:
+        """Advice column values only (per-proof hot path): the layout is
+        witness-independent, so all selector/copy bookkeeping is skipped
+        (~2x faster than build; mirrors create_proof's internal
+        synthesize-without-keygen, ecdsa_p256.rs:415-423)."""
+        p = self.params
+        b = CircuitBuilder(
+            num_advice=p.num_advice,
+            num_lookup_advice=p.num_lookup_advice,
+            lookup_bits=p.lookup_bits,
+            check=False,
+            layout=False,
+        )
+        chip = EcdsaChip(b)
+        chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
+        return b.finalize_values()
+
     def stats(self) -> dict:
         """Advice/lookup cell counts (the `print_stats` equivalent,
         ecdsa_p256.rs:197-202)."""

@@ -783,18 +783,33 @@ _CONV_CHUNK = 6  # polys per vmapped conversion call: bounds the transient
 # NTT working set to ~chunk * (L, 4n) * a-few-stage-buffers (HBM is 16 GB)
 
 
+def _pad_chunk(stack: jnp.ndarray):
+    """Pad the poly axis to a multiple of _CONV_CHUNK so every vmapped
+    conversion dispatch shares ONE compiled shape (remote compiles are the
+    dominant one-time cost under the tunneled backend)."""
+    m = stack.shape[0]
+    pad = (-m) % _CONV_CHUNK
+    if pad:
+        stack = jnp.concatenate([stack, stack[:pad]], axis=0)
+    return stack, m
+
+
 def _batched_l2c(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
     """(m, L, n) lagrange stack -> coeff stack, chunked vmapped dispatches."""
     from ..ops import ntt as N
 
+    stack, m = _pad_chunk(stack)
     fn = _jax.vmap(lambda a: N.intt(SPEC, a, domain.k))
     outs = [fn(stack[i : i + _CONV_CHUNK])
             for i in range(0, stack.shape[0], _CONV_CHUNK)]
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:m]
 
 
 def _batched_c2e(domain: Domain, stack: jnp.ndarray) -> jnp.ndarray:
+    stack, m = _pad_chunk(stack)
     fn = _jax.vmap(lambda a: domain.coeff_to_extended(a))
     outs = [fn(stack[i : i + _CONV_CHUNK])
             for i in range(0, stack.shape[0], _CONV_CHUNK)]
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:m]
