@@ -42,7 +42,7 @@ def main():
     )
     from webauthn_halo2_tpu.fields.constants import P256_N
     from webauthn_halo2_tpu.fields.ref_curve import ecdsa_keygen, ecdsa_sign
-    from webauthn_halo2_tpu.plonk.keygen import keygen
+    from webauthn_halo2_tpu.plonk.pk_cache import keygen_cached
     from webauthn_halo2_tpu.plonk.prover import create_proof
     from webauthn_halo2_tpu.plonk.srs import get_srs
     from webauthn_halo2_tpu.plonk.verifier import verify_proof
@@ -59,9 +59,11 @@ def main():
     cs, fixed, _advice, copies = circuit.build(ECDSAInputs.dummy())
     log(f"circuit built in {time.time()-t0:.1f}s")
 
+    # pk/vk are write-once disk artifacts (reference parity: pk.to_bytes,
+    # ecdsa_p256.rs:261-270) — warm boots skip the 20-minute keygen
     t0 = time.time()
-    pk = keygen(srs, cs, fixed, copies)
-    log(f"keygen in {time.time()-t0:.1f}s")
+    pk = keygen_cached(srs, cs, fixed, copies)
+    log(f"pk ready in {time.time()-t0:.1f}s")
 
     # fresh signature per proof (the reference bench signs in-test,
     # ecdsa_p256.rs:527-540)

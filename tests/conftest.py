@@ -19,7 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the big jitted pipelines (MSM, prover)
-# compile once per shape across the whole test suite / repeated runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/wh2tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# compile once per shape across the whole test suite / repeated runs.
+# Lives under artifacts/ (not /tmp) so it survives container restarts and
+# pre-warms the driver's dryrun_multichip check.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "artifacts", "jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -77,6 +77,7 @@ def test_ec_chip_add_double():
     assert run_mock(b) == []
 
 
+@pytest.mark.slow
 def test_ecdsa_gadget_mock():
     """Full ECDSA verify circuit at the production degree (k=17)."""
     b = CircuitBuilder(num_advice=7, num_lookup_advice=1, lookup_bits=16)
@@ -97,3 +98,27 @@ def test_ecdsa_gadget_rejects_bad_signature():
     with pytest.raises(Exception):
         # invalid witness cannot even synthesize (builder gate asserts fire)
         chip.verify(r, (s + 1) % P256_N, m, pk)
+
+
+@pytest.mark.slow
+def test_ecdsa_forged_witness_rejected_by_constraints():
+    """Soundness: a forged witness (tampered AFTER synthesis, so builder
+    host asserts can't catch it) must violate the constraint system itself.
+
+    This is the MockProver-level negative test the reference pins its
+    circuit soundness on (SURVEY §4.1) — distinct from the witness-gen
+    exception path above."""
+    b = CircuitBuilder(num_advice=7, num_lookup_advice=1, lookup_bits=16)
+    chip = EcdsaChip(b)
+    sk, pk = ecdsa_keygen()
+    m = secrets.randbelow(P256_N)
+    r, s = ecdsa_sign(m, sk)
+    res = chip.verify(r, s, m, pk)
+    cs, fixed, advice, copies = b.finalize(17)
+    # tamper the recovered point's x-coordinate low limb: this forges
+    # "x(R') == r" and must break the integer-combo carry-chain gates
+    from webauthn_halo2_tpu.fields.constants import BN254_FR
+
+    advice[res.col][res.row] = (advice[res.col][res.row] + 1) % BN254_FR
+    fails = mock_prove(cs, 17, fixed, advice, copies=copies)
+    assert fails, "forged ECDSA witness must violate constraints"

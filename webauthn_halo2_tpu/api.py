@@ -20,7 +20,8 @@ import time
 
 from .circuits.ecdsa_circuit import CircuitParams, ECDSACircuit, ECDSAInputs
 from .fields.ref_curve import P256_CURVE
-from .plonk.keygen import ProvingKey, keygen
+from .plonk.keygen import ProvingKey
+from .plonk.pk_cache import keygen_cached
 from .plonk.prover import create_proof
 from .plonk.srs import get_srs
 from .plonk.verifier import verify_proof
@@ -34,7 +35,8 @@ def _keys(params: CircuitParams, srs_seed: bytes = b"dev") -> ProvingKey:
         srs = get_srs(params.degree, srs_seed)
         circuit = ECDSACircuit(params)
         cs, fixed, _advice, copies = circuit.build(ECDSAInputs.dummy())
-        _PK_CACHE[key] = keygen(srs, cs, fixed, copies)
+        # disk-cached keygen (pk.to_bytes parity, ecdsa_p256.rs:261-270)
+        _PK_CACHE[key] = keygen_cached(srs, cs, fixed, copies)
     return _PK_CACHE[key]
 
 
@@ -130,33 +132,38 @@ def generate_verifier(
     yul_code_path: str = "verifier.yul",
     valid_proof_hex: str | None = None,
     params: CircuitParams | None = None,
-) -> None:
+) -> int | None:
     """EVM verifier codegen (ecdsa_p256.rs:275-327 / snark-verifier parity):
-    writes .yul and .sol artifacts; optionally dry-runs a supplied GWC proof
-    through the Yul interpreter (the revm-parity check, SURVEY §4.4).
-
-    No solc exists in this build environment, so the .code artifact is a
-    manifest pointing at the .yul source to compile externally.
+    writes .yul, .sol and .code artifacts. The .code file holds REAL deploy
+    bytecode (DeploymentCode {code: Vec<u8>} parity, main.rs:371-374),
+    assembled by evm/yul_asm.py. If a valid proof is supplied, the verifier
+    is deployed in the bytecode EVM and the proof dry-run with gas metering
+    (the revm step at ecdsa_p256.rs:303-324); returns gas used, else None.
     """
     import json as _json
 
     from .evm.codegen import generate_verifier as _gen
-    from .evm.yul_interp import run_yul_verifier
+    from .evm.machine import Chain
+    from .evm.yul_asm import compile_yul
 
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
     yul, sol = _gen(pk.vk, pk.srs)
+    deploy, _runtime = compile_yul(yul)
+    gas_used = None
     if valid_proof_hex:
-        assert run_yul_verifier(yul, bytes.fromhex(valid_proof_hex)), (
+        chain = Chain()
+        addr, res = chain.create(0xD0, deploy)
+        assert res.success, "verifier deployment failed"
+        run = chain.call(0xD0, addr, bytes.fromhex(valid_proof_hex))
+        assert run.success, (
             "generated verifier rejected the supplied valid proof"
         )
+        gas_used = run.gas_used
     with open(yul_code_path, "w") as f:
         f.write(yul)
     with open(sol_code_path, "w") as f:
         f.write(sol)
     with open(deploy_code_path, "w") as f:
-        _json.dump({
-            "note": "compile the .yul with `solc --strict-assembly` "
-                    "(no solc in this build environment)",
-            "yul": yul_code_path,
-        }, f)
+        _json.dump({"code": list(deploy)}, f)
+    return gas_used

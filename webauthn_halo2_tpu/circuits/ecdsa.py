@@ -116,16 +116,18 @@ class EcdsaChip:
 
     # --- the verify statement -------------------------------------------
     def verify(self, r_int: int, s_int: int, m_int: int,
-               pk: tuple[int, int]) -> None:
+               pk: tuple[int, int]) -> Cell:
         """Constrain the full ECDSA verification statement (private
         witnesses, no public inputs — matching the reference circuit's
-        interface, ecdsa_p256.rs:65-72/245)."""
+        interface, ecdsa_p256.rs:65-72/245). Returns a constrained cell of
+        the recovered point's x-coordinate (the gadget's "result cell",
+        cf. the reference's printed result — ecdsa_p256.rs:199)."""
         m = self.fn.load(m_int)
         self.fn.enforce_canonical(m)
-        self.verify_with_m(r_int, s_int, m, pk)
+        return self.verify_with_m(r_int, s_int, m, pk)
 
     def verify_with_m(self, r_int: int, s_int: int, m,
-                      pk: tuple[int, int]) -> None:
+                      pk: tuple[int, int]) -> Cell:
         """ECDSA verify with the message already in-circuit (any proper
         CrtInt representative < 2^256; reduction happens in u1 = m/s).
         Used by the ES256 circuit, whose m comes out of in-circuit SHA-256."""
@@ -156,6 +158,7 @@ class EcdsaChip:
         [bit] = self.b.load_witnesses([bit_val])
         self.b.assert_bit(bit)
         self._integer_combo_zero(r_pt.x, r, bit)
+        return r_pt.x.limbs[0]
 
     def _integer_combo_zero(self, x: CrtInt, r: CrtInt, bit: Cell) -> None:
         """Exact integer identity x - r - bit*n = 0 (limbwise carries)."""

@@ -245,9 +245,16 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     if _use_fused(n):
         from .msm_pallas import msm_pallas_batch
 
+        # `lanes` is a serial-Pippenger knob; the fused engine has its own
+        # static K and ignores it
         return msm_pallas_batch(curve, points, scalars_mont[None],
-                                c if c is not None else 13)
+                                c if c is not None else _default_c(n))
     return _msm_jit(curve, points, scalars_mont, c, lanes)
+
+
+def _default_c(n: int) -> int:
+    """Window size balancing W*(n + 2^(c+1)) total work."""
+    return min(DEFAULT_C, max(4, n.bit_length() - 5))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -266,7 +273,7 @@ def msm_batch(curve: CurveSpec, points: JPoint, scalars_batch: jnp.ndarray,
         from .msm_pallas import msm_pallas_batch
 
         return msm_pallas_batch(curve, points, scalars_batch,
-                                c if c is not None else 13)
+                                c if c is not None else _default_c(n))
     return _msm_batch_jit(curve, points, scalars_batch, c, lanes)
 
 
@@ -287,8 +294,7 @@ def _msm_impl(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     f_r = _fr_spec()
     n = scalars_mont.shape[1]
     if c is None:
-        # balance W*(n + 2^(c+1)) work: c ~ log2(n) - 5, clamped
-        c = min(DEFAULT_C, max(4, n.bit_length() - 5))
+        c = _default_c(n)
     if lanes is None:
         # balance interior serial steps (n/lanes) against the boundary-scan
         # work (~2*lanes*log): n/64 capped to [64, 4096]
@@ -298,13 +304,13 @@ def _msm_impl(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     std = M.normalize(f_r, M.from_mont(f_r, scalars_mont))
     digits = scalar_digits(std, c)  # (W, n)
     W = digits.shape[0]
-    idx_bits = max(n - 1, 1).bit_length()
 
     def per_window(_, dig):
-        key = (dig << idx_bits) | jnp.arange(n, dtype=jnp.int32)
-        key = jax.lax.sort(key)
-        order = key & ((1 << idx_bits) - 1)
-        sdig = key >> idx_bits
+        # two-operand sort (no (digit << bits) | index packing: that
+        # overflows int32 once c + ceil(log2 n) > 31, i.e. k >= 19 at c=13)
+        sdig, order = jax.lax.sort(
+            (dig, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
         spts = _pt_cols(points, order)
         return None, _window_bucket_sum(curve, spts, sdig, c, lanes)
 

@@ -481,8 +481,8 @@ def msm_pallas_batch(curve: CurveSpec, points: JPoint,
     """
     Bm = scalars_mont.shape[0]
     outs = [
-        _msm_pallas_single(curve, points, scalars_mont[i], c, k_lanes,
-                           interpret)
+        _msm_single_aot(curve, points, scalars_mont[i], c, k_lanes,
+                        interpret)
         for i in range(Bm)
     ]
     return JPoint(
@@ -513,12 +513,11 @@ def _msm_pallas_single(curve: CurveSpec, points: JPoint,
     digits = scalar_digits(std, c)  # (W, n)
     W = digits.shape[0]
     R_ = W
-    idx_bits = max(n - 1, 1).bit_length()
 
-    key = (digits << idx_bits) | jnp.arange(n, dtype=jnp.int32)[None]
-    key = jax.lax.sort(key, dimension=1)
-    order = key & ((1 << idx_bits) - 1)           # (R, n)
-    sdig = (key >> idx_bits).astype(jnp.int32)    # (R, n)
+    # two-operand sort: no (digit << bits) | index key packing, which
+    # overflows int32 once c + ceil(log2 n) > 31 (k >= 19 at c=13)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], digits.shape)
+    sdig, order = jax.lax.sort((digits, idx), dimension=1, num_keys=1)
 
     # gather sorted affine coords -> (R, S, L, K) step-major
     def gat(coord):  # coord (L, n)
@@ -628,3 +627,10 @@ def _fr_spec():
     from ..fields.limbs import FR_SPEC
 
     return FR_SPEC
+
+
+from ..utils.aot_cache import aot_wrap  # noqa: E402
+
+# ~8 min remote compile per process without the AOT disk cache
+_msm_single_aot = aot_wrap("msm_single", _msm_pallas_single,
+                           static_argnums=(0, 3, 4, 5))

@@ -55,16 +55,25 @@ def _pad8(cols: list) -> list:
     return cols + [cols[0]] * (target - B)
 
 
+def _maybe_pad(cols: list) -> list:
+    """Power-of-two padding helps only the XLA vmap fallback share compiled
+    graphs; the fused-Pallas engine runs MSMs one at a time (batch size is
+    not a static shape), so padding there just costs extra dispatches."""
+    from ..ops.msm import _use_fused
+
+    return cols if _use_fused(cols[0].shape[1]) else _pad8(cols)
+
+
 def commit_lagrange_batch(srs: SRS, cols: list) -> list:
     """Commit many Lagrange columns in one device dispatch."""
     B = len(cols)
-    res = msm_batch(E.BN254_CURVE, srs.g_lag, jnp.stack(_pad8(cols)))
+    res = msm_batch(E.BN254_CURVE, srs.g_lag, jnp.stack(_maybe_pad(cols)))
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
 def commit_coeff_batch(srs: SRS, cols: list) -> list:
     B = len(cols)
-    res = msm_batch(E.BN254_CURVE, srs.g_mono, jnp.stack(_pad8(cols)))
+    res = msm_batch(E.BN254_CURVE, srs.g_mono, jnp.stack(_maybe_pad(cols)))
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
@@ -142,6 +151,18 @@ def assemble_permutation(cs: CS.ConstraintSystem, n: int, copies: list):
 
 def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
            ) -> ProvingKey:
+    import os as _os
+    import sys as _sys
+    import time as _t
+
+    def _span(name, t0):
+        if _os.environ.get("WH2_TRACE"):
+            jnp.zeros(1).block_until_ready()
+            print(f"[keygen] {name}: {_t.time()-t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+        return _t.time()
+
+    _tt = _t.time()
     k = srs.k
     n = 1 << k
     domain = _domain_for(cs, k)
@@ -156,7 +177,9 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         fixed_lagrange.append(lag)
         fixed_coeff.append(coeff)
         fixed_ext.append(domain.coeff_to_extended(coeff))
+    _tt = _span("fixed cols", _tt)
     fixed_comms = commit_lagrange_batch(srs, fixed_lagrange)
+    _tt = _span("fixed commits", _tt)
 
     # --- permutation sigmas (labels computed on-device) ---
     omega = domain.omega
@@ -168,7 +191,9 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     ncols = len(cs.perm_columns)
     deltas = [pow(DELTA, j, R) for j in range(ncols)]
 
+    _tt = _span("omega pows", _tt)
     mapping = assemble_permutation(cs, n, copies)
+    _tt = _span("assemble perm", _tt)
     sigma_values: list = []  # host copies materialized lazily if ever needed
     id_values: list = []
     sigma_lagrange, sigma_coeff, sigma_ext = [], [], []
@@ -195,7 +220,9 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
             sigma_lagrange.append(lag)
             sigma_coeff.append(coeff)
             sigma_ext.append(domain.coeff_to_extended(coeff))
+    _tt = _span("sigma polys", _tt)
     perm_comms = commit_lagrange_batch(srs, sigma_lagrange) if sigma_lagrange else []
+    _tt = _span("sigma commits", _tt)
 
     # --- indicator polynomials ---
     # row layout: data rows [0, usable); boundary row `usable` (the grand
@@ -215,6 +242,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     lblind_ext = domain.coeff_to_extended(
         domain.lagrange_to_coeff(encode_column(lblind))
     )
+    _tt = _span("indicator polys", _tt)
 
     # --- coset points X on extended domain ---
     from .domain import COSET_GEN
@@ -227,6 +255,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         xs[i] = accx
         accx = accx * wext % R
     x_ext = encode_column(xs)
+    _tt = _span("x_ext coset", _tt)
 
     # --- vk digest ---
     h = hashlib.blake2b(digest_size=64, person=b"WH2-TPU-vk")

@@ -1,0 +1,146 @@
+"""On-disk proving-key cache (pk.to_bytes parity, ecdsa_p256.rs:261-270).
+
+The reference serializes pk/vk once with `SerdeFormat::RawBytes` and every
+server boot loads them from `./keys/` instead of re-running keygen
+(SURVEY §3.1, §5.4). Round-1 re-ran keygen (250-1,184 s under the
+tunneled backend) on every process start; this module makes keygen a
+write-once artifact: all ProvingKey tensors go into one .npz keyed by a
+digest of (k, constraint system, fixed assignment, copy constraints), so
+a stale cache can never be loaded for a changed circuit.
+
+Tensors are stored as raw int32 limb arrays (Montgomery form, exactly as
+the prover consumes them); total ~1.3 GB at k=17 — cheap against the
+20-minute keygen it replaces.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.limbs import ints_to_limbs_fast
+from . import cs as CS
+from .keygen import ProvingKey, VerifyingKey, _domain_for, keygen
+from .srs import SRS
+
+
+def _cs_repr(cs: CS.ConstraintSystem) -> bytes:
+    return repr(
+        (cs.num_fixed, cs.num_advice, cs.num_instance,
+         [(nm, str(g)) for nm, g in cs.gates],
+         [(lk.name, [str(e) for e in lk.inputs], [str(e) for e in lk.tables])
+          for lk in cs.lookups],
+         cs.perm_columns)
+    ).encode()
+
+
+def pk_digest(k: int, cs: CS.ConstraintSystem, fixed_cols: list,
+              copies: list) -> str:
+    """Cache key: everything keygen's output depends on (plus the SRS k)."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(k.to_bytes(4, "little"))
+    h.update(_cs_repr(cs))
+    for col in fixed_cols:
+        h.update(np.asarray(
+            ints_to_limbs_fast([int(v) for v in col]), dtype=np.int32
+        ).tobytes())
+    h.update(repr(copies).encode())
+    return h.hexdigest()
+
+
+def save_pk(path: str, pk: ProvingKey) -> None:
+    vk = pk.vk
+    arrays: dict[str, np.ndarray] = {}
+
+    def put_list(prefix: str, lst: list) -> None:
+        arrays[f"{prefix}_len"] = np.asarray([len(lst)])
+        for i, t in enumerate(lst):
+            arrays[f"{prefix}_{i}"] = np.asarray(t)
+
+    put_list("fixed_lag", pk.fixed_lagrange)
+    put_list("fixed_coeff", pk.fixed_coeff)
+    put_list("fixed_ext", pk.fixed_ext)
+    put_list("sigma_lag", pk.sigma_lagrange)
+    put_list("sigma_coeff", pk.sigma_coeff)
+    put_list("sigma_ext", pk.sigma_ext)
+    arrays["l0_ext"] = np.asarray(pk.l0_ext)
+    arrays["llast_ext"] = np.asarray(pk.llast_ext)
+    arrays["lblind_ext"] = np.asarray(pk.lblind_ext)
+    arrays["x_ext"] = np.asarray(pk.x_ext)
+    arrays["omega_pows"] = np.asarray(
+        ints_to_limbs_fast([int(v) for v in pk.omega_pows_np]), dtype=np.int32
+    )
+    # vk commitments: affine (x, y) int pairs -> 2x32 LE bytes each
+    def comms_bytes(comms: list) -> np.ndarray:
+        out = np.zeros((len(comms), 2, 32), dtype=np.uint8)
+        for i, (x, y) in enumerate(comms):
+            out[i, 0] = np.frombuffer(int(x).to_bytes(32, "little"), np.uint8)
+            out[i, 1] = np.frombuffer(int(y).to_bytes(32, "little"), np.uint8)
+        return out
+
+    arrays["vk_fixed_comms"] = comms_bytes(vk.fixed_commitments)
+    arrays["vk_perm_comms"] = comms_bytes(vk.perm_commitments)
+    arrays["vk_repr"] = np.frombuffer(
+        int(vk.transcript_repr).to_bytes(64, "little"), np.uint8
+    ).copy()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_pk(path: str, srs: SRS, cs: CS.ConstraintSystem) -> ProvingKey:
+    z = np.load(path)
+    domain = _domain_for(cs, srs.k)
+
+    def get_list(prefix: str) -> list:
+        return [jnp.asarray(z[f"{prefix}_{i}"])
+                for i in range(int(z[f"{prefix}_len"][0]))]
+
+    def comms_of(name: str) -> list:
+        raw = z[name]
+        return [
+            (int.from_bytes(raw[i, 0].tobytes(), "little"),
+             int.from_bytes(raw[i, 1].tobytes(), "little"))
+            for i in range(raw.shape[0])
+        ]
+
+    vk = VerifyingKey(
+        domain, cs, comms_of("vk_fixed_comms"), comms_of("vk_perm_comms"),
+        int.from_bytes(z["vk_repr"].tobytes(), "little"),
+    )
+    from ..fields.limbs import limbs_to_ints_fast
+
+    omega_ints = limbs_to_ints_fast(z["omega_pows"])
+    omega_np = np.empty(len(omega_ints), dtype=object)
+    omega_np[:] = omega_ints
+    return ProvingKey(
+        vk, srs,
+        get_list("fixed_lag"), get_list("fixed_coeff"), get_list("fixed_ext"),
+        [], get_list("sigma_lag"), get_list("sigma_coeff"),
+        get_list("sigma_ext"), [],
+        jnp.asarray(z["l0_ext"]), jnp.asarray(z["llast_ext"]),
+        jnp.asarray(z["lblind_ext"]), jnp.asarray(z["x_ext"]),
+        omega_np,
+    )
+
+
+def keygen_cached(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list,
+                  copies: list, cache_dir: str | None = None) -> ProvingKey:
+    """keygen with a write-once on-disk artifact (the reference's
+    download_keys flow: generate once, then always load)."""
+    cache_dir = cache_dir or os.environ.get(
+        "WH2_KEY_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "keys"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    digest = pk_digest(srs.k, cs, fixed_cols, copies)
+    path = os.path.join(cache_dir, f"pk_k{srs.k}_{digest}.npz")
+    if os.path.exists(path):
+        return load_pk(path, srs, cs)
+    pk = keygen(srs, cs, fixed_cols, copies)
+    save_pk(path, pk)
+    return pk

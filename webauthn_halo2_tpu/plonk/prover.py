@@ -790,7 +790,10 @@ def _pad_chunk(stack: jnp.ndarray):
     m = stack.shape[0]
     pad = (-m) % _CONV_CHUNK
     if pad:
-        stack = jnp.concatenate([stack, stack[:pad]], axis=0)
+        # tile the source so padding works even when m < pad
+        reps = -(-pad // m)
+        filler = jnp.concatenate([stack] * reps, axis=0)[:pad]
+        stack = jnp.concatenate([stack, filler], axis=0)
     return stack, m
 
 

@@ -74,7 +74,19 @@ class Handler(BaseHTTPRequestHandler):
                 )
                 self._send(200, "verified" if ok else "rejected")
             elif route == "/generate_evm_verifier":
-                self._send(501, "EVM verifier codegen lands next round")
+                # main.rs:376-409 parity: writes .code/.yul/.sol artifacts,
+                # optionally dry-runs a proof in the bytecode EVM
+                gas = api.generate_verifier(
+                    body.get("verifying_key_path", ""),
+                    body.get("sol_code_path", "verifier.sol"),
+                    body.get("deploy_code_path", "verifier.code"),
+                    body.get("yul_code_path", "verifier.yul"),
+                    body.get("valid_proof_hex"),
+                )
+                msg = "generated evm verifier"
+                if gas is not None:
+                    msg += f" (dry-run gas: {gas})"
+                self._send(200, msg)
             else:
                 self._send(404, "unknown route")
         except Exception as e:  # noqa: BLE001 - match reference's 500 behavior
