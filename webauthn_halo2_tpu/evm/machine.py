@@ -96,17 +96,26 @@ class Chain:
                    + salt.to_bytes(32, "big") + keccak256(initcode))
             addr = int.from_bytes(keccak256(pre)[12:], "big")
         acct.nonce += 1
+        # value moves (and state snapshots) BEFORE the initcode frame runs:
+        # initcode observing CALLVALUE/SELFBALANCE must see a funded account,
+        # and a failed create must roll back nested-call mutations
+        # (mirrors Chain.call)
+        snapshot = self._snapshot()
+        if value:
+            if self.account(sender).balance < value:
+                return addr, CallResult(False, b"", 0, [])
+            self.account(sender).balance -= value
+            self.account(addr).balance += value
         frame = Frame(self, caller=sender, address=addr, origin=sender,
                       code=initcode, data=b"", value=value, gas=gas,
                       static=False, accessed=_fresh_access(sender, addr))
         res = frame.run()
         if res.success:
             self.account(addr).code = res.output
-            if value:
-                self.account(sender).balance -= value
-                self.account(addr).balance += value
             res = CallResult(True, b"", res.gas_used + 200 * len(res.output),
                              res.logs)
+        else:
+            self._restore(snapshot)
         return addr, res
 
     def deploy_runtime(self, runtime: bytes, addr: int | None = None) -> int:
@@ -788,8 +797,8 @@ def _do_create(f: Frame, salt: int | None):
                + salt_v.to_bytes(32, "big") + keccak256(initcode))
     addr = int.from_bytes(keccak256(pre)[12:], "big")
     me.nonce += 1
-    if f.chain.account(addr).code:
-        f.push(0)
+    if f.chain.account(addr).code or f.depth + 1 > 1024:
+        f.push(0)  # collision or call-depth limit: CREATE pushes 0
         return
     gas_fwd = f.gas - f.gas // 64
     snapshot = f.chain._snapshot()
@@ -863,6 +872,10 @@ def _do_call(f: Frame, op: int):
         f.push(ok)
         return
 
+    if f.depth + 1 > 1024:  # EVM call-depth limit: the call fails cleanly
+        f.push(0)
+        f.returndata = b""
+        return
     code = f.chain.account(to).code
     snapshot = f.chain._snapshot()
     if value and op == 0xF1:

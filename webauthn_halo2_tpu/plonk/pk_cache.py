@@ -37,10 +37,17 @@ def _cs_repr(cs: CS.ConstraintSystem) -> bytes:
 
 
 def pk_digest(k: int, cs: CS.ConstraintSystem, fixed_cols: list,
-              copies: list) -> str:
-    """Cache key: everything keygen's output depends on (plus the SRS k)."""
+              copies: list, tau_seed: bytes | None = b"dev") -> str:
+    """Cache key: everything keygen's output depends on — the SRS identity
+    (k + tau seed: vk commitments and pk.srs both depend on the full SRS,
+    not just its size) and the circuit description. tau_seed=None computes
+    the legacy (round-2) digest that omitted the seed, used only to migrate
+    old cache files forward."""
     h = hashlib.blake2b(digest_size=16)
     h.update(k.to_bytes(4, "little"))
+    if tau_seed is not None:
+        h.update(b"srs-seed:")
+        h.update(tau_seed)
     h.update(_cs_repr(cs))
     for col in fixed_cols:
         h.update(np.asarray(
@@ -85,8 +92,8 @@ def save_pk(path: str, pk: ProvingKey) -> None:
     arrays["vk_repr"] = np.frombuffer(
         int(vk.transcript_repr).to_bytes(64, "little"), np.uint8
     ).copy()
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    tmp = f"{path}.{os.getpid()}.tmp"  # pid-suffixed: concurrent writers
+    with open(tmp, "wb") as f:         # cannot clobber each other
         np.savez(f, **arrays)
     os.replace(tmp, path)
 
@@ -137,8 +144,17 @@ def keygen_cached(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list,
             os.path.abspath(__file__)))), "keys"),
     )
     os.makedirs(cache_dir, exist_ok=True)
-    digest = pk_digest(srs.k, cs, fixed_cols, copies)
+    digest = pk_digest(srs.k, cs, fixed_cols, copies, srs.tau_seed)
     path = os.path.join(cache_dir, f"pk_k{srs.k}_{digest}.npz")
+    if not os.path.exists(path) and srs.tau_seed == b"dev":
+        # migrate a legacy (seed-less digest) artifact: those were only
+        # ever generated under the default b"dev" SRS
+        legacy = os.path.join(
+            cache_dir,
+            f"pk_k{srs.k}_{pk_digest(srs.k, cs, fixed_cols, copies, None)}.npz",
+        )
+        if os.path.exists(legacy):
+            os.replace(legacy, path)
     if os.path.exists(path):
         return load_pk(path, srs, cs)
     pk = keygen(srs, cs, fixed_cols, copies)
