@@ -10,11 +10,15 @@ Progress and secondary metrics (witness-gen time, commit throughput) go to
 stderr. First invocation pays one-time SRS generation + XLA compilation
 (persisted to artifacts/jax_cache for later runs).
 """
+import faulthandler
 import json
 import os
 import secrets
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 os.environ.setdefault("WH2_SRS_DIR", os.path.join(os.path.dirname(__file__), "artifacts"))
 
@@ -100,6 +104,14 @@ def main():
     log(f"verify: {ok} in {time.time()-t0:.2f}s")
     assert ok, "benchmark proof failed verification"
 
+    best = min(times)
+    print(json.dumps({
+        "metric": f"ecdsa_p256_proof_time_k{k}",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_K17_S / best, 3),
+    }), flush=True)
+
     # secondary metric: MSM throughput (BASELINE.json: Mpoints/s per chip)
     try:
         import jax as _jax
@@ -122,14 +134,6 @@ def main():
         log(f"msm k={k}: {per:.3f}s -> {(1 << k) / per / 1e6:.2f} Mpoints/s")
     except Exception as e:  # secondary metric must not break the bench
         log(f"msm metric skipped: {e}")
-
-    best = min(times)
-    print(json.dumps({
-        "metric": f"ecdsa_p256_proof_time_k{k}",
-        "value": round(best, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_K17_S / best, 3),
-    }))
 
 
 if __name__ == "__main__":

@@ -51,14 +51,16 @@ def main():
 
     os.makedirs("results", exist_ok=True)
     t0 = time.time()
-    api.generate_verifier(
+    gas = api.generate_verifier(
         sol_code_path="results/P256Verifier.sol",
         deploy_code_path="results/P256Verifier.code",
         yul_code_path="results/P256Verifier.yul",
         valid_proof_hex=proof.hex(),
         params=params,
     )
-    log(f"generate_verifier + yul dry-run: OK in {time.time()-t0:.1f}s")
+    log(f"generate_verifier + bytecode dry-run: OK in {time.time()-t0:.1f}s; "
+        f"verify gas = {gas} (reference validateUserOp avg 399,477 — "
+        f"contracts/README.md:23)")
 
     # tamper check through the interpreter
     from webauthn_halo2_tpu.evm.yul_interp import run_yul_verifier

@@ -18,14 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the big jitted pipelines (MSM, prover)
-# compile once per shape across the whole test suite / repeated runs.
-# Lives under artifacts/ (not /tmp) so it survives container restarts and
-# pre-warms the driver's dryrun_multichip check.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "artifacts", "jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the XLA persistent compilation cache is deliberately NOT enabled.
+# In this container the XLA:CPU serialized executables are compiled with
+# CPU features the host does not actually support ("Machine type used for
+# XLA:CPU compilation doesn't match the machine type for execution ...
+# could lead to execution errors such as SIGILL") and reloading them
+# intermittently segfaults the test process. In-process caching +
+# plonk/fused.py's global graph cache keep recompiles to one per shape
+# per process.

@@ -122,3 +122,58 @@ def test_prove_and_verify_toy_gwc_keccak():
     bad[len(bad) // 3] ^= 1
     assert not verify_proof(pk.vk, srs, bytes(bad), [], scheme="gwc",
                             transcript=KeccakRead(bytes(bad)))
+
+
+def test_prove_and_verify_with_public_inputs():
+    """Instance-column (public input) support: the verifier computes the
+    instance commitment from the public values itself and the multiopen
+    pins the claimed evals to it — the plumbing needed to bind the
+    userOpHash into the proof (P256Account.sol:77 TODO, SURVEY §7.4)."""
+    cs = CS.ConstraintSystem(num_fixed=1, num_advice=1, num_instance=1)
+    q = CS.fixed(0)
+    cs.gate("pub", q * (CS.advice(0) - CS.instance(0)))
+    n = 1 << K
+    usable = cs.usable_rows(n)
+    pub = [42, 99]
+    adv = [42, 99] + [0] * (usable - 2)
+    qcol = [1, 1] + [0] * (n - 2)
+
+    # mock prover first (test-pyramid parity)
+    assert mock_prove(cs, K, [qcol], [adv], instance_cols=[pub]) == []
+    bad = list(adv)
+    bad[0] = 43
+    assert mock_prove(cs, K, [qcol], [bad], instance_cols=[pub]) != []
+
+    srs = get_srs(K)
+    pk = keygen(srs, cs, [qcol], [])
+    proof = create_proof(pk, [adv], [pub])
+    assert verify_proof(pk.vk, srs, proof, [pub])
+    # a different public input must be rejected (binding)
+    assert not verify_proof(pk.vk, srs, proof, [[43, 99]])
+    assert not verify_proof(pk.vk, srs, proof, [[42]])
+
+    # GWC/Keccak (EVM) path as well
+    from webauthn_halo2_tpu.plonk.transcript import KeccakRead, KeccakWrite
+
+    proof2 = create_proof(pk, [adv], [pub], scheme="gwc",
+                          transcript=KeccakWrite())
+    assert verify_proof(pk.vk, srs, proof2, [pub], scheme="gwc",
+                        transcript=KeccakRead(proof2))
+    assert not verify_proof(pk.vk, srs, proof2, [[43, 99]], scheme="gwc",
+                            transcript=KeccakRead(proof2))
+
+
+def test_batch_proving_independent_proofs():
+    """Batched multi-signature proving (BASELINE config 5 / SURVEY §2.3):
+    B witnesses through the shared compiled phase graphs -> B distinct
+    proofs, all verifying. DP sharding needs no collectives (proofs are
+    independent); the compile cost is amortized across the batch."""
+    cs = build_toy()
+    n = 1 << K
+    fixed, advice, copies = build_witness(cs, n)
+    srs = get_srs(K)
+    pk = keygen(srs, cs, fixed, copies)
+    proofs = [create_proof(pk, advice, []) for _ in range(3)]
+    assert len({p for p in proofs}) == 3  # blinding -> distinct bytes
+    for p in proofs:
+        assert verify_proof(pk.vk, srs, p, [])

@@ -167,3 +167,44 @@ def generate_verifier(
     with open(deploy_code_path, "w") as f:
         _json.dump({"code": list(deploy)}, f)
     return gas_used
+
+
+def generate_proofs_batch(
+    requests: list[dict],
+    proving_key_path: str = "",
+    params: CircuitParams | None = None,
+    scheme: str = "shplonk",
+) -> list[bytes]:
+    """Batched multi-signature proving (SURVEY §2.3 "Batch proving (DP
+    analog)", BASELINE config 5): N independent signatures -> N proofs.
+
+    Each request: {r, s, pubkey_x, pubkey_y, msghash} as LE byte lists
+    (ProveRequestBody parity, main.rs:39-47). All proofs share one
+    ProvingKey and one set of compiled phase graphs, so the marginal cost
+    per proof is pure device work: the batch amortizes the per-process
+    compile exactly like a data-parallel shard does. On a multi-chip mesh
+    the same loop runs per-host with requests sharded round-robin (each
+    proof is single-chip; DP needs no collectives — proofs are
+    independent), so scaling efficiency is communication-free.
+    """
+    from .plonk.transcript import KeccakWrite
+
+    params = params or _load_params(proving_key_path)
+    pk = _keys(params)
+    circuit = ECDSACircuit(params)
+    out: list[bytes] = []
+    for req in requests:
+        inputs = ECDSAInputs(
+            r=le_bytes_to_int(req["r"]),
+            s=le_bytes_to_int(req["s"]),
+            msghash=le_bytes_to_int(req["msghash"]),
+            pk=(le_bytes_to_int(req["pubkey_x"]),
+                le_bytes_to_int(req["pubkey_y"])),
+        )
+        advice = circuit.witness(inputs)
+        if scheme == "gwc":
+            out.append(create_proof(pk, advice, [], scheme="gwc",
+                                    transcript=KeccakWrite()))
+        else:
+            out.append(create_proof(pk, advice, []))
+    return out

@@ -243,12 +243,15 @@ def msm(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
     """
     n = scalars_mont.shape[1]
     if _use_fused(n):
-        from .msm_pallas import msm_pallas_batch
+        from .msm_pallas import DEFAULT_K_LANES, _msm_single_aot
 
         # `lanes` is a serial-Pippenger knob; the fused engine has its own
-        # static K and ignores it
-        return msm_pallas_batch(curve, points, scalars_mont[None],
-                                c if c is not None else _default_c(n))
+        # static K and ignores it. Direct single call: no [None] reshape
+        # (every ad-hoc eager op is a remote compile on the tunneled
+        # backend).
+        return _msm_single_aot(curve, points, scalars_mont,
+                               c if c is not None else _default_c(n),
+                               DEFAULT_K_LANES, False)
     return _msm_jit(curve, points, scalars_mont, c, lanes)
 
 

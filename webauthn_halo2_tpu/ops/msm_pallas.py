@@ -480,16 +480,19 @@ def msm_pallas_batch(curve: CurveSpec, points: JPoint,
     batch size (B enters no static shape).
     """
     Bm = scalars_mont.shape[0]
+    # unstack/pack through AOT-cached graphs: on the tunneled backend every
+    # ad-hoc eager op (slice/concat) is its own remote compile per process
+    rows = _unstack_aot(Bm)(scalars_mont) if Bm > 1 else \
+        _unstack_aot(1)(scalars_mont)
     outs = [
-        _msm_single_aot(curve, points, scalars_mont[i], c, k_lanes,
-                        interpret)
+        _msm_single_aot(curve, points, rows[i], c, k_lanes, interpret)
         for i in range(Bm)
     ]
-    return JPoint(
-        jnp.concatenate([o.x for o in outs], axis=1),
-        jnp.concatenate([o.y for o in outs], axis=1),
-        jnp.concatenate([o.z for o in outs], axis=1),
-    )
+    if Bm == 1:
+        return outs[0]
+    xs, ys, zs = [o.x for o in outs], [o.y for o in outs], [o.z for o in outs]
+    px, py, pz = _pack_aot(Bm)(xs, ys, zs)
+    return JPoint(px, py, pz)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -634,3 +637,17 @@ from ..utils.aot_cache import aot_wrap  # noqa: E402
 # ~8 min remote compile per process without the AOT disk cache
 _msm_single_aot = aot_wrap("msm_single", _msm_pallas_single,
                            static_argnums=(0, 3, 4, 5))
+
+
+@functools.lru_cache(maxsize=None)
+def _unstack_aot(B: int):
+    return aot_wrap(f"unstack{B}", jax.jit(
+        lambda s: tuple(s[i] for i in range(B))))
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_aot(B: int):
+    return aot_wrap(f"packpts{B}", jax.jit(
+        lambda xs, ys, zs: (jnp.concatenate(xs, axis=1),
+                            jnp.concatenate(ys, axis=1),
+                            jnp.concatenate(zs, axis=1))))

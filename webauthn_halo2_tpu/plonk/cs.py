@@ -244,9 +244,12 @@ class ConstraintSystem:
             t_deg = max((e.degree() for e in lk.tables), default=1)
             d = max(d, 2 + in_deg + t_deg, 4)
         # permutation: chunked so that 2 + chunk_len <= degree; with
-        # chunk_len >= 1 the floor is 3 (plus active-row factor -> 4)
-        d = max(d, 4)
-        return d
+        # chunk_len >= 1 the floor is 3 (plus active-row factor -> 4).
+        # Only applies when a permutation argument exists — a gates-only
+        # circuit keeps its true degree (avoids all-zero quotient pieces)
+        if self.perm_columns:
+            d = max(d, 4)
+        return max(d, 2)
 
     def permutation_chunk_len(self) -> int:
         return self.degree() - 2

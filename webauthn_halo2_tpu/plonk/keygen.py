@@ -64,16 +64,32 @@ def _maybe_pad(cols: list) -> list:
     return cols if _use_fused(cols[0].shape[1]) else _pad8(cols)
 
 
-def commit_lagrange_batch(srs: SRS, cols: list) -> list:
-    """Commit many Lagrange columns in one device dispatch."""
-    B = len(cols)
-    res = msm_batch(E.BN254_CURVE, srs.g_lag, jnp.stack(_maybe_pad(cols)))
+def _batch_input(cols):
+    """list of (L, n) -> (B, L, n); a pre-stacked array passes through
+    (the fused-prover path: stacks come straight out of phase graphs, so
+    no per-row eager slices/stacks hit the device)."""
+    if isinstance(cols, (list, tuple)):
+        B = len(cols)
+        if B == 0:
+            return None, 0
+        return jnp.stack(_maybe_pad(list(cols))), B
+    return cols, cols.shape[0]
+
+
+def commit_lagrange_batch(srs: SRS, cols) -> list:
+    """Commit many Lagrange columns (list of rows OR (B, L, n) stack)."""
+    stack, B = _batch_input(cols)
+    if not B:
+        return []
+    res = msm_batch(E.BN254_CURVE, srs.g_lag, stack)
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
-def commit_coeff_batch(srs: SRS, cols: list) -> list:
-    B = len(cols)
-    res = msm_batch(E.BN254_CURVE, srs.g_mono, jnp.stack(_maybe_pad(cols)))
+def commit_coeff_batch(srs: SRS, cols) -> list:
+    stack, B = _batch_input(cols)
+    if not B:
+        return []
+    res = msm_batch(E.BN254_CURVE, srs.g_mono, stack)
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
@@ -168,26 +184,41 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     domain = _domain_for(cs, k)
     assert len(fixed_cols) == cs.num_fixed
 
-    # --- fixed columns (one batched commit dispatch) ---
+    # --- fixed columns (batched conversions through the SAME AOT graphs
+    # the prover uses — no extra compiles on the tunneled backend) ---
+    from .fused import batched_c2e, batched_l2c, to_mont_stack
+
+    def _pack(cols: list) -> jnp.ndarray:
+        flat: list[int] = []
+        for col in cols:
+            flat.extend(int(v) % BN254_FR for v in col)
+            flat.extend([0] * (n - len(col)))
+        arr = np.asarray(ints_to_limbs_fast(flat), dtype=np.int32)
+        return jnp.asarray(np.ascontiguousarray(
+            arr.reshape(arr.shape[0], len(cols), n).transpose(1, 0, 2)))
+
     fixed_lagrange, fixed_coeff, fixed_ext = [], [], []
-    for col in fixed_cols:
-        vals = list(col) + [0] * (n - len(col))
-        lag = encode_column(vals)
-        coeff = domain.lagrange_to_coeff(lag)
-        fixed_lagrange.append(lag)
-        fixed_coeff.append(coeff)
-        fixed_ext.append(domain.coeff_to_extended(coeff))
+    if fixed_cols:
+        lag_stack = to_mont_stack(_pack(fixed_cols))
+        coeff_stack = batched_l2c(k, lag_stack)
+        ext_stack = batched_c2e(k, domain.extended_k, coeff_stack)
+        fixed_lagrange = [lag_stack[i] for i in range(len(fixed_cols))]
+        fixed_coeff = [coeff_stack[i] for i in range(len(fixed_cols))]
+        fixed_ext = [ext_stack[i] for i in range(len(fixed_cols))]
     _tt = _span("fixed cols", _tt)
     fixed_comms = commit_lagrange_batch(srs, fixed_lagrange)
     _tt = _span("fixed commits", _tt)
 
     # --- permutation sigmas (labels computed on-device) ---
+    from .fused import powers_of
+
     omega = domain.omega
+    one_m = jnp.asarray(FR_SPEC.encode([1]), dtype=jnp.int32)
+    omega_mont = powers_of(
+        jnp.asarray(FR_SPEC.encode([omega]), dtype=jnp.int32), one_m, n)
+    omega_ints = FR_SPEC.decode(np.asarray(omega_mont))
     omega_pows = np.empty(n, dtype=object)
-    acc = 1
-    for i in range(n):
-        omega_pows[i] = acc
-        acc = acc * omega % R
+    omega_pows[:] = omega_ints
     ncols = len(cs.perm_columns)
     deltas = [pow(DELTA, j, R) for j in range(ncols)]
 
@@ -198,10 +229,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     id_values: list = []
     sigma_lagrange, sigma_coeff, sigma_ext = [], [], []
     if ncols:
-        omega_mont = M.to_mont(
-            FR_SPEC,
-            jnp.asarray(ints_to_limbs_fast([int(v) for v in omega_pows])),
-        )
+        # omega_mont already device-resident Montgomery from powers_of
         delta_mont = jnp.asarray(
             np.concatenate(
                 [ints_to_limbs_fast([d]) for d in deltas], axis=1
@@ -214,12 +242,12 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         d_g = delta_mont[:, tgt_col]  # (L, ncols, n)
         w_g = omega_mont[:, tgt_row]
         sig_stack = M.montmul(FR_SPEC, d_g, w_g)  # (L, ncols, n) mont
-        for j in range(ncols):
-            lag = sig_stack[:, j]
-            coeff = domain.lagrange_to_coeff(lag)
-            sigma_lagrange.append(lag)
-            sigma_coeff.append(coeff)
-            sigma_ext.append(domain.coeff_to_extended(coeff))
+        sig_stack = jnp.moveaxis(sig_stack, 1, 0)  # (ncols, L, n)
+        sig_coeff_stack = batched_l2c(k, sig_stack)
+        sig_ext_stack = batched_c2e(k, domain.extended_k, sig_coeff_stack)
+        sigma_lagrange = [sig_stack[j] for j in range(ncols)]
+        sigma_coeff = [sig_coeff_stack[j] for j in range(ncols)]
+        sigma_ext = [sig_ext_stack[j] for j in range(ncols)]
     _tt = _span("sigma polys", _tt)
     perm_comms = commit_lagrange_batch(srs, sigma_lagrange) if sigma_lagrange else []
     _tt = _span("sigma commits", _tt)

@@ -64,11 +64,13 @@ class Blake2bBase:
         self.state = hashlib.blake2b(digest_size=64, person=PERSONAL)
 
     def common_point(self, pt) -> None:
-        if pt is None:
-            raise ValueError("cannot absorb the identity point")
+        # identity absorbs as zero coordinates (halo2curves serializes the
+        # identity to all-zero bytes; a zero quotient piece legitimately
+        # commits to the identity)
+        x, y = (0, 0) if pt is None else pt
         self.state.update(PREFIX_POINT)
-        self.state.update(to_le_bytes(pt[0], 32))
-        self.state.update(to_le_bytes(pt[1], 32))
+        self.state.update(to_le_bytes(x, 32))
+        self.state.update(to_le_bytes(y, 32))
 
     def common_scalar(self, s: int) -> None:
         self.state.update(PREFIX_SCALAR)
@@ -167,8 +169,8 @@ class KeccakBase:
         self.buf = bytearray()
 
     def common_point(self, pt) -> None:
-        if pt is None:
-            raise ValueError("cannot absorb the identity point")
+        # identity absorbs/encodes as (0, 0) — the EVM verifier's point
+        # check treats the zero word pair as the identity
         self.buf += encode_g1_evm(pt)
 
     def common_scalar(self, s: int) -> None:

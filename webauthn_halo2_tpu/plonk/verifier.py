@@ -201,16 +201,23 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
         h_combined = G.add(h_combined, G.mul(pow(xn, i, R), hc))
     com_map[("h",)] = h_combined
 
-    # instance queries: the verifier computes instance evals itself; fold
-    # them into the query list the same way the prover did (they were
-    # appended right after fixed queries).
-    # NOTE: prover opened instance polys too; we inserted them via rd()
-    # above only if instance queries exist. For instance commitments the
-    # verifier recomputes... (no instances in ECDSA; guarded)
+    # instance-column commitments: computed BY THE VERIFIER from the
+    # public values (sparse Lagrange commit — only the supplied rows are
+    # nonzero, so this is len(col) point muls, not 2^k). The multiopen
+    # then pins the prover's claimed instance evals to this commitment,
+    # which binds the proof to the public inputs. This is the plumbing
+    # the reference left TODO (P256Account.sol:77 — binding the userOp
+    # hash as a public input).
     if cs.num_instance:
-        raise NotImplementedError(
-            "instance-column openings not wired into the multiopen yet"
-        )
+        g_lag_host = _g_lag_prefix(
+            srs, max((len(c) for c in inst_vals), default=0))
+        for idx in range(cs.num_instance):
+            col = inst_vals[idx] if idx < len(inst_vals) else []
+            com = None
+            for i, v in enumerate(col):
+                if v:
+                    com = G.add(com, G.mul(v, g_lag_host[i]))
+            com_map[(CS.INSTANCE, idx)] = com
 
     queries.append((("h",), 0, h_expected))
 
@@ -292,6 +299,21 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
     return pairing_check(
         [(lcom_u_w, srs.g2), (G.neg(w_com), srs.s_g2)]
     )
+
+
+_G_LAG_CACHE: dict = {}
+
+
+def _g_lag_prefix(srs, m: int) -> list:
+    """First m Lagrange-basis SRS points as host affine ints (cached)."""
+    key = (id(srs), m)
+    if key not in _G_LAG_CACHE:
+        from ..ops import ec as E
+
+        pts = E.JPoint(srs.g_lag.x[..., :m], srs.g_lag.y[..., :m],
+                       srs.g_lag.z[..., :m])
+        _G_LAG_CACHE[key] = E.to_affine_ints(E.BN254_CURVE, pts)
+    return _G_LAG_CACHE[key]
 
 
 def _compress_host(exprs, get_var, theta: int) -> int:
