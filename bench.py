@@ -112,6 +112,20 @@ def main():
         "vs_baseline": round(BASELINE_K17_S / best, 3),
     }), flush=True)
 
+    if os.environ.get("WH2_TRACE"):
+        # speed-of-light table from the last proof's phase spans
+        from webauthn_halo2_tpu.plonk.prover import LAST_SPANS
+        from webauthn_halo2_tpu.utils.roofline import report
+
+        spans = {
+            "commits": LAST_SPANS.get("advice encode+commit", 0)
+            + LAST_SPANS.get("grand products + z commits", 0),
+            "quotient": LAST_SPANS.get("quotient (conversions + h)", 0),
+            "evals": LAST_SPANS.get("evaluations", 0),
+            "multiopen": LAST_SPANS.get("multiopen", 0),
+        }
+        log(report(spans, k=k))
+
     # secondary metric: MSM throughput (BASELINE.json: Mpoints/s per chip)
     try:
         import jax as _jax

@@ -40,11 +40,15 @@ SPEC = FR_SPEC
 LAST_DEBUG: dict = {}
 
 
+LAST_SPANS: dict[str, float] = {}  # phase -> seconds, last proof (trace mode)
+
+
 class _Span:
     """Phase span timer (ark-std start_timer!/end_timer! parity, SURVEY §5.1).
 
     Enabled with WH2_TRACE=1; blocks on device completion at span ends so
-    the numbers attribute real device time to each phase."""
+    the numbers attribute real device time to each phase. Spans are also
+    recorded in LAST_SPANS for the roofline report (utils/roofline.py)."""
 
     def __init__(self, name: str):
         self.name = name
@@ -58,7 +62,9 @@ class _Span:
             # a fresh tiny computation completes only after everything
             # already enqueued on the (single) device stream
             jnp.zeros(1).block_until_ready()
-            print(f"[span] {self.name}: {_time.time()-self.t0:.3f}s",
+            dt = _time.time() - self.t0
+            LAST_SPANS[self.name] = dt
+            print(f"[span] {self.name}: {dt:.3f}s",
                   file=sys.stderr, flush=True)
 
 
