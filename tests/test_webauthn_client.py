@@ -95,3 +95,30 @@ def test_webauthn_to_circuit_mock_proof():
     cs, fixed, _a, copies = circuit.build(ECDSAInputs.dummy())
     advice = circuit.witness(inputs)
     assert mock_prove(cs, params.degree, fixed, advice, copies=copies) == []
+
+
+def test_webauthn_assertion_to_es256_inputs():
+    """The assertion maps losslessly onto the ES256 circuit's witness
+    model: circuit msghash == client msghash (mod n)."""
+    cred = wa.create_credential()
+    assertion = wa.authenticate(cred, b"es256-bridge")
+    inputs = wa.es256_inputs_from_assertion(assertion, cred)
+    assert len(inputs.authenticator_data) == 37
+    assert inputs.msghash % wa.P256_N == assertion.msghash
+    assert (inputs.r, inputs.s) == (assertion.r, assertion.s)
+
+
+@pytest.mark.slow
+def test_webauthn_assertion_es256_mock_proof():
+    """Full WebAuthn->ES256 circuit: in-circuit SHA-256 of the real
+    assertion bytes + ECDSA verify, MockProver-accepted."""
+    from webauthn_halo2_tpu.circuits.es256_circuit import ES256Circuit
+    from webauthn_halo2_tpu.plonk.mock import mock_prove
+
+    cred = wa.create_credential()
+    assertion = wa.authenticate(cred, b"es256-mock")
+    inputs = wa.es256_inputs_from_assertion(assertion, cred)
+    circ = ES256Circuit()
+    cs, fixed, advice, copies = circ.build(inputs)
+    assert mock_prove(cs, circ.params.degree, fixed, advice,
+                      copies=copies) == []

@@ -276,3 +276,21 @@ def verify_assertion_host(assertion: Assertion, cred: Credential) -> bool:
     from ..fields.ref_curve import ecdsa_verify
 
     return ecdsa_verify(assertion.msghash, assertion.r, assertion.s, cred.pk)
+
+
+def es256_inputs_from_assertion(assertion: Assertion, cred: Credential):
+    """Bridge to the ES256 circuit (in-circuit SHA-256): the assertion's
+    raw authenticatorData + SHA-256(clientDataJSON) become the circuit's
+    private witnesses — the full WebAuthn relation proved end to end
+    (what the reference's es256.rs TODO'd)."""
+    import hashlib as _hl
+
+    from ..circuits.es256_circuit import ES256Inputs
+
+    return ES256Inputs(
+        r=assertion.r,
+        s=assertion.s,
+        authenticator_data=assertion.authenticator_data,
+        client_data_hash=_hl.sha256(assertion.client_data_json).digest(),
+        pk=cred.pk,
+    )
