@@ -122,3 +122,28 @@ def test_ecdsa_forged_witness_rejected_by_constraints():
     advice[res.col][res.row] = (advice[res.col][res.row] + 1) % BN254_FR
     fails = mock_prove(cs, 17, fixed, advice, copies=copies)
     assert fails, "forged ECDSA witness must violate constraints"
+
+
+@pytest.mark.slow
+def test_ecdsa_expose_msghash_mock():
+    """expose_msghash: the msghash limbs become instance values bound by
+    copy constraints; a mismatched public input must fail the permutation
+    argument (the on-chain binding's circuit half)."""
+    from webauthn_halo2_tpu.circuits.ecdsa_circuit import (
+        CircuitParams, ECDSACircuit, ECDSAInputs)
+
+    params = CircuitParams(expose_msghash=True)
+    circ = ECDSACircuit(params)
+    sk, pk = ecdsa_keygen()
+    m = secrets.randbelow(P256_N)
+    r, s = ecdsa_sign(m, sk)
+    inputs = ECDSAInputs(r, s, m, pk)
+    cs, fixed, advice, copies = circ.build(inputs)
+    assert cs.num_instance == 1
+    pub = circ.public_inputs(inputs)
+    assert mock_prove(cs, params.degree, fixed, advice,
+                      instance_cols=pub, copies=copies) == []
+    bad = [list(pub[0])]
+    bad[0][0] = (bad[0][0] + 1) % (1 << 88)
+    assert mock_prove(cs, params.degree, fixed, advice,
+                      instance_cols=bad, copies=copies) != []

@@ -69,3 +69,48 @@ def test_generated_verifier_real_bytecode_and_gas():
     bad[len(bad) // 2] ^= 1
     assert not chain.call(sender, addr, bytes(bad)).success
     assert not chain.call(sender, addr, proof[:-32]).success
+
+
+def test_generated_verifier_with_public_inputs():
+    """On-chain public-input binding (the reference's P256Account.sol:77
+    TODO): the generated verifier computes the instance commitment from
+    leading calldata words and binds the proof to them — wrong or missing
+    public inputs revert at the bytecode level."""
+    from webauthn_halo2_tpu.evm.machine import Chain
+    from webauthn_halo2_tpu.evm.yul_asm import compile_yul
+    from webauthn_halo2_tpu.plonk import cs as CSm
+
+    cs = CSm.ConstraintSystem(num_fixed=1, num_advice=1, num_instance=1)
+    q = CSm.fixed(0)
+    cs.gate("pub", q * (CSm.advice(0) - CSm.instance(0)))
+    cs.enable_permutation(CSm.ADVICE, 0)
+    cs.enable_permutation(CSm.INSTANCE, 0)
+    n = 1 << K
+    usable = cs.usable_rows(n)
+    pub = [42, 99]
+    adv = [42, 99] + [0] * (usable - 2)
+    qcol = [1, 1] + [0] * (n - 2)
+    srs = get_srs(K)
+    pk = keygen(srs, cs, [qcol], [((CSm.ADVICE, 0, 0), (CSm.INSTANCE, 0, 0)),
+                                  ((CSm.ADVICE, 0, 1), (CSm.INSTANCE, 0, 1))])
+    proof = create_proof(pk, [adv], [pub], scheme="gwc",
+                         transcript=KeccakWrite())
+    assert verify_proof(pk.vk, srs, proof, [pub], scheme="gwc",
+                        transcript=KeccakRead(proof))
+
+    yul, _sol = generate_verifier(pk.vk, srs, num_public=len(pub))
+    deploy, _rt = compile_yul(yul)
+    chain = Chain()
+    addr, res = chain.create(0xBEEF, deploy)
+    assert res.success
+
+    def calldata(pubs, prf):
+        return b"".join(v.to_bytes(32, "big") for v in pubs) + prf
+
+    ok = chain.call(0xBEEF, addr, calldata(pub, proof))
+    assert ok.success, "verifier rejected valid (pub, proof)"
+    # wrong public input -> bound proof must fail
+    assert not chain.call(0xBEEF, addr, calldata([43, 99], proof)).success
+    assert not chain.call(0xBEEF, addr, calldata([42, 98], proof)).success
+    # missing public inputs -> calldata misparse -> revert
+    assert not chain.call(0xBEEF, addr, proof).success

@@ -85,15 +85,18 @@ def generate_proof(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
     )
     circuit = ECDSACircuit(params)
     advice = circuit.witness(inputs)
-    return create_proof(pk, advice, [])
+    return create_proof(pk, advice, circuit.public_inputs(inputs))
 
 
 def verify(proof: bytes, verifying_key_path: str = "",
-           params: CircuitParams | None = None) -> bool:
-    """Verify a Blake2b/SHPLONK proof (ecdsa_p256.rs:429-445)."""
+           params: CircuitParams | None = None,
+           public_inputs: list | None = None) -> bool:
+    """Verify a Blake2b/SHPLONK proof (ecdsa_p256.rs:429-445). With
+    expose_msghash circuits, public_inputs carries the claimed msghash
+    limbs."""
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
-    return verify_proof(pk.vk, pk.srs, proof, [])
+    return verify_proof(pk.vk, pk.srs, proof, public_inputs or [])
 
 
 def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
@@ -112,17 +115,19 @@ def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
     )
     circuit = ECDSACircuit(params)
     advice = circuit.witness(inputs)
-    return create_proof(pk, advice, [], scheme="gwc", transcript=KeccakWrite())
+    return create_proof(pk, advice, circuit.public_inputs(inputs),
+                        scheme="gwc", transcript=KeccakWrite())
 
 
 def verify_evm(proof: bytes, verifying_key_path: str = "",
-               params: CircuitParams | None = None) -> bool:
+               params: CircuitParams | None = None,
+               public_inputs: list | None = None) -> bool:
     from .plonk.transcript import KeccakRead
 
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
-    return verify_proof(pk.vk, pk.srs, proof, [], scheme="gwc",
-                        transcript=KeccakRead(proof))
+    return verify_proof(pk.vk, pk.srs, proof, public_inputs or [],
+                        scheme="gwc", transcript=KeccakRead(proof))
 
 
 def generate_verifier(
@@ -148,7 +153,8 @@ def generate_verifier(
 
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
-    yul, sol = _gen(pk.vk, pk.srs)
+    num_public = (params.num_limbs if params.expose_msghash else 0)
+    yul, sol = _gen(pk.vk, pk.srs, num_public=num_public)
     deploy, _runtime = compile_yul(yul)
     gas_used = None
     if valid_proof_hex:

@@ -60,6 +60,10 @@ class CircuitBuilder:
         # paired (key, value) lookup tables, e.g. 8-bit XOR/AND for SHA-256:
         # name -> dict(fn=..., pairs=[(key_cell, val_cell), ...])
         self.pair_tables: dict = {}
+        # cells exposed as public inputs (instance column 0, row = order):
+        # the standard halo2 mechanism — a copy constraint ties the advice
+        # cell to the instance cell through the permutation argument
+        self.public_cells: list = []
 
     # --- low-level assignment -------------------------------------------
     def assign_region(self, values: list[int], gate_offsets: list[int],
@@ -85,6 +89,14 @@ class CircuitBuilder:
                 for o in gate_offsets:
                     sel[base + o] = 1
         return [Cell(col, base + i, v) for i, v in enumerate(vals)]
+
+    def expose_public(self, cell: Cell) -> int:
+        """Bind `cell` to public-input row len(public_cells) (instance
+        column 0). Returns the instance row index. The proof then only
+        verifies against instances[0][row] == cell value (the
+        userOpHash-binding plumbing — P256Account.sol:77 TODO)."""
+        self.public_cells.append(cell)
+        return len(self.public_cells) - 1
 
     def copy(self, a: Cell, b: Cell) -> None:
         if not self.layout:
@@ -321,7 +333,7 @@ class CircuitBuilder:
         cs = ConstraintSystem(
             num_fixed=na + 2 + 2 * npair,
             num_advice=na + nl + 2 * npair,
-            num_instance=0,
+            num_instance=1 if self.public_cells else 0,
         )
         for i in range(na):
             q = CS.fixed(i)
@@ -337,6 +349,8 @@ class CircuitBuilder:
         for i in range(cs.num_advice):
             cs.enable_permutation(CS.ADVICE, i)
         cs.enable_permutation(CS.FIXED, na)  # constants column
+        if self.public_cells:
+            cs.enable_permutation(CS.INSTANCE, 0)
 
         usable = cs.usable_rows(n)
         table = [i for i in range(1 << self.lookup_bits)]
@@ -399,6 +413,9 @@ class CircuitBuilder:
         copies = []
         for a, b in self.copies + lookup_copies + pair_copies:
             copies.append((_fix(a, na), _fix(b, na)))
+        for row, cell in enumerate(self.public_cells):
+            copies.append(((CS.ADVICE, cell.col, cell.row),
+                           (CS.INSTANCE, 0, row)))
         return cs, fixed_cols, advice_cols, copies
 
 

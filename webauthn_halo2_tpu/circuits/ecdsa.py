@@ -124,6 +124,7 @@ class EcdsaChip:
         cf. the reference's printed result — ecdsa_p256.rs:199)."""
         m = self.fn.load(m_int)
         self.fn.enforce_canonical(m)
+        self.last_m = m  # exposed for public-input binding (CrtInt)
         return self.verify_with_m(r_int, s_int, m, pk)
 
     def verify_with_m(self, r_int: int, s_int: int, m,

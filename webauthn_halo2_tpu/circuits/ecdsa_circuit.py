@@ -27,6 +27,11 @@ class CircuitParams:
     lookup_bits: int = 16
     limb_bits: int = 88
     num_limbs: int = 3
+    # expose the msghash limbs as public inputs (instance column): binds
+    # the proof to its message ON CHAIN — the reference's open TODO
+    # (P256Account.sol:77). Default off = reference parity (zero
+    # instances, ecdsa_p256.rs:245/373).
+    expose_msghash: bool = False
 
     @staticmethod
     def from_json(s: str) -> "CircuitParams":
@@ -105,6 +110,9 @@ class ECDSACircuit:
         )
         chip = EcdsaChip(b)
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
+        if p.expose_msghash:
+            for limb in chip.last_m.limbs:
+                b.expose_public(limb)
         return b.finalize(p.degree)
 
     def witness(self, inputs: ECDSAInputs) -> list:
@@ -123,6 +131,17 @@ class ECDSACircuit:
         chip = EcdsaChip(b)
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
         return b.finalize_values()
+
+    def public_inputs(self, inputs: ECDSAInputs) -> list:
+        """Instance columns for create_proof/verify_proof: the msghash's
+        88-bit limbs when expose_msghash is set, else none (reference
+        parity)."""
+        if not self.params.expose_msghash:
+            return []
+        lb = self.params.limb_bits
+        mask = (1 << lb) - 1
+        return [[(inputs.msghash >> (lb * i)) & mask
+                 for i in range(self.params.num_limbs)]]
 
     def stats(self) -> dict:
         """Advice/lookup cell counts (the `print_stats` equivalent,

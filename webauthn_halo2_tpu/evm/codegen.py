@@ -63,9 +63,10 @@ class VerifierCodegen:
     EC_ACC = 0x4100     # running ec accumulator (x, y)
     PAIR_IN = 0x4200    # pairing input (384 bytes)
 
-    def __init__(self, vk: VerifyingKey, srs):
+    def __init__(self, vk: VerifyingKey, srs, num_public: int = 0):
         self.vk = vk
         self.srs = srs
+        self.num_public = num_public  # public-input words before the proof
         self.e = Emitter()
         self.buf_len = 0  # current transcript buffer length (static)
         self.cd_off = 0   # calldata offset (static)
@@ -167,6 +168,27 @@ class VerifierCodegen:
         # vk digest (verifier.py: vk.hash_into)
         self.absorb_words([_fmt(vk.transcript_repr % R)])
 
+        # public inputs: leading calldata words. The verifier computes the
+        # instance commitment ITSELF (sparse Lagrange MSM over the public
+        # values via ecMul/ecAdd) and the multiopen pins the proof's
+        # claimed instance evals to it — on-chain message binding
+        # (P256Account.sol:77 TODO; the reference verifies zero-instance
+        # proofs only).
+        c_inst = None
+        if self.num_public:
+            assert cs.num_instance == 1, "codegen supports one instance col"
+            from ..plonk.verifier import _g_lag_prefix
+
+            g_lag = _g_lag_prefix(self.srs, self.num_public)
+            for i in range(self.num_public):
+                p = e.let(f"calldataload({_fmt(self.cd_off)})", f"pub{i}")
+                self.cd_off += 32
+                e.line(f"if iszero(lt({p}, R_MOD)) {{ revert(0, 0) }}")
+                self.absorb_words([p])
+                gx, gy = g_lag[i]
+                term = self.ec_mul((_fmt(gx), _fmt(gy)), p)
+                c_inst = term if c_inst is None else self.ec_add(c_inst, term)
+
         advice = [self.read_point() for _ in range(cs.num_advice)]
         theta = self.squeeze()
         lk_perm = [(self.read_point(), self.read_point()) for _ in cs.lookups]
@@ -194,6 +216,8 @@ class VerifierCodegen:
             rd((CS.ADVICE, idx), rot)
         for idx, rot in sq[CS.FIXED]:
             rd((CS.FIXED, idx), rot)
+        for idx, rot in sq[CS.INSTANCE]:
+            rd((CS.INSTANCE, idx), rot)
         rd(("random",), 0)
         for j in range(len(cs.perm_columns)):
             rd(("sigma", j), 0)
@@ -328,6 +352,8 @@ class VerifierCodegen:
                 _fmt(fx[0] if fx else 0), _fmt(fx[1] if fx else 0)
             )
         com_map[("random",)] = random_c
+        if self.num_public:
+            com_map[(CS.INSTANCE, 0)] = c_inst
         for j in range(len(cs.perm_columns)):
             pc = vk.perm_commitments[j]
             com_map[("sigma", j)] = (_fmt(pc[0]), _fmt(pc[1]))
@@ -467,9 +493,12 @@ contract Verifier {{
 """
 
 
-def generate_verifier(vk: VerifyingKey, srs) -> tuple[str, str]:
-    """Returns (yul_source, solidity_source)."""
-    gen = VerifierCodegen(vk, srs)
+def generate_verifier(vk: VerifyingKey, srs,
+                      num_public: int = 0) -> tuple[str, str]:
+    """Returns (yul_source, solidity_source). With num_public > 0, the
+    verifier expects calldata = num_public 32-byte public-input words
+    followed by the proof, and binds them on chain."""
+    gen = VerifierCodegen(vk, srs, num_public)
     yul = gen.generate()
     asm_body = "\n".join(
         "            " + ln

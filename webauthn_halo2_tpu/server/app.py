@@ -71,6 +71,9 @@ class Handler(BaseHTTPRequestHandler):
                 ok = fn(
                     bytes.fromhex(body["proof"]),
                     body.get("verifying_key_path", ""),
+                    # expose_msghash circuits: claimed public inputs
+                    # (list of per-column int lists)
+                    public_inputs=body.get("public_inputs"),
                 )
                 self._send(200, "verified" if ok else "rejected")
             elif route == "/generate_evm_verifier":
