@@ -247,9 +247,39 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[None], a, b)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def prefix_mul(spec: FieldSpec, a: jnp.ndarray, axis: int = 1,
+               reverse: bool = False) -> jnp.ndarray:
+    """Inclusive prefix (or suffix) product along `axis`: explicit
+    Hillis-Steele log passes (montmul + pad-shift). NOT
+    jax.lax.associative_scan — its odd/even-interleave lowering produces
+    graphs the XLA compilers in this environment take tens of minutes on
+    at (33, 2^17); these log passes compile like the NTT stages do."""
+    n = a.shape[axis]
+    one = _bc(spec.one_mont, a.ndim)
+    off = 1
+    while off < n:
+        idx_keep = [slice(None)] * a.ndim
+        pad_shape = list(a.shape)
+        pad_shape[axis] = off
+        ones_blk = jnp.broadcast_to(one, pad_shape)
+        if not reverse:
+            idx_keep[axis] = slice(0, n - off)
+            shifted = jnp.concatenate([ones_blk, a[tuple(idx_keep)]],
+                                      axis=axis)
+        else:
+            idx_keep[axis] = slice(off, n)
+            shifted = jnp.concatenate([a[tuple(idx_keep)], ones_blk],
+                                      axis=axis)
+        a = montmul(spec, a, shifted)
+        off *= 2
+    return a
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
-    """Montgomery batch inversion along `axis` via two associative scans.
+    """Montgomery batch inversion along `axis` via two prefix-product
+    passes + one Fermat inverse.
 
     Zeros map to zero (halo2 convention, ref_field.batch_inv parity).
     Cost: ~2 log2(n) montmul passes instead of ~380 for per-element Fermat.
@@ -259,9 +289,8 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray
     zero_mask = is_zero(spec, a)
     safe = jnp.where(zero_mask[None], one, a)
 
-    mul = functools.partial(montmul, spec)
-    prefix = jax.lax.associative_scan(mul, safe, axis=axis)
-    suffix = jax.lax.associative_scan(mul, safe, axis=axis, reverse=True)
+    prefix = prefix_mul(spec, safe, axis)
+    suffix = prefix_mul(spec, safe, axis, True)
     total = jnp.take(prefix, jnp.array([n - 1]), axis=axis)
     total_inv = inv_fermat(spec, total)
 
@@ -275,5 +304,6 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray
     idxn[axis] = slice(n - 1, n)
     shift_bwd = shift_bwd.at[tuple(idxn)].set(one[tuple(idxn)])
 
-    inv = mul(mul(shift_fwd, shift_bwd), jnp.broadcast_to(total_inv, a.shape))
+    inv = montmul(spec, montmul(spec, shift_fwd, shift_bwd),
+                  jnp.broadcast_to(total_inv, a.shape))
     return jnp.where(zero_mask[None], jnp.zeros_like(a), inv)

@@ -38,12 +38,11 @@ def mod_sum(spec: FieldSpec, a: jnp.ndarray, block: int = 16) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def power_table(spec: FieldSpec, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(L, 1) Montgomery x -> (L, n) [1, x, x^2, ..., x^(n-1)] (log passes)."""
+    """(L, 1) Montgomery x -> (L, n) [1, x, x^2, ..., x^(n-1)] (log passes:
+    prefix_mul — see its note on associative_scan compile pathology)."""
     one = jnp.asarray(spec.one_mont, jnp.int32).reshape(L, 1)
     seq = jnp.concatenate([one, jnp.broadcast_to(x_mont, (L, n - 1))], axis=1)
-    return jax.lax.associative_scan(
-        functools.partial(M.montmul, spec), seq, axis=1
-    )
+    return M.prefix_mul(spec, seq, 1)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

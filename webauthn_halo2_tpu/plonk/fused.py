@@ -140,6 +140,17 @@ def coset_points(k: int) -> jnp.ndarray:
     return jnp.asarray(ints_to_limbs_fast(xs), dtype=jnp.int32)
 
 
+def _scan_z(num, den, carry, n: int, usable: int):
+    """z[0] = carry; z[i+1] = z[i] * num[i]/den[i] on active rows."""
+    den_inv = M.batch_inverse(SPEC, den, axis=1)
+    ratio = M.montmul(SPEC, num, den_inv)
+    mask = (jnp.arange(n) < usable)[None, :]
+    ratio = jnp.where(mask, ratio, _one_b(ratio.shape))
+    incl = M.prefix_mul(SPEC, ratio, 1)
+    z = jnp.concatenate([_one_b((L, 1)), incl[:, :-1]], axis=1)
+    return M.montmul(SPEC, carry, z)
+
+
 # ---------------------------------------------------------------------------
 # the per-circuit phase pipeline
 # ---------------------------------------------------------------------------
@@ -244,85 +255,98 @@ class FusedPhases:
             fixed_stack, advice_stack, instance_stack, theta_t)
 
     # -- phases 3-5: grand products + random poly --------------------------
-    def grand_products(self, advice_stack, fixed_stack, instance_stack,
-                       sigma_stack, omega_mont, beta_t, gamma_t,
-                       lk_mont, lk_perm_mont, z_tails_std, random_std):
-        """Everything between the (beta, gamma) squeeze and the y squeeze,
-        except the commits: permutation z chunks (carry-chained in-graph),
-        lookup z's, tail blinding, and the vanishing random polynomial.
-        Returns (z_stack (nz+nlk, L, n), random_lag (L, n))."""
+    # one graph per permutation chunk / lookup + one assembly graph: a
+    # single fused graph here was the largest compile in the pipeline and
+    # choked both the remote compile service and XLA:CPU
+    def _gp_chunk(self, ci: int):
         cs_ = self.cs
         usable = self.usable
         n = self.n
-        nz, nlk = self.nz, self.nlk
         chunk_len = cs_.permutation_chunk_len()
         perm_cols = cs_.perm_columns
-        deltas = [pow(BN254_FR_DELTA, j, R) for j in range(len(perm_cols))]
+        chunk = list(range(ci * chunk_len,
+                           min((ci + 1) * chunk_len, len(perm_cols))))
+        deltas = {j: pow(BN254_FR_DELTA, j, R) for j in chunk}
 
         def build():
-            def scan_z(num, den, carry):
-                den_inv = M.batch_inverse(SPEC, den, axis=1)
-                ratio = M.montmul(SPEC, num, den_inv)
-                mask = (jnp.arange(n) < usable)[None, :]
-                ratio = jnp.where(mask, ratio, _one_b(ratio.shape))
-                incl = jax.lax.associative_scan(
-                    functools.partial(M.montmul, SPEC), ratio, axis=1)
-                z = jnp.concatenate([_one_b((L, 1)), incl[:, :-1]], axis=1)
-                return M.montmul(SPEC, carry, z)
-
             def fn(advice_s, fixed_s, instance_s, sigma_s, omega_m,
-                   beta, gamma, lkm, lkp, tails_std, rand_std):
+                   beta, gamma, carry):
                 def col(kind, idx):
                     return {CS.FIXED: fixed_s, CS.ADVICE: advice_s,
                             CS.INSTANCE: instance_s}[kind][idx]
 
-                zs = []
-                carry = _one_b((L, 1))
-                for ci, cstart in enumerate(
-                        range(0, len(perm_cols), chunk_len)):
-                    chunk = range(cstart,
-                                  min(cstart + chunk_len, len(perm_cols)))
-                    num = den = None
-                    for j in chunk:
-                        kind, idx = perm_cols[j]
-                        v = col(kind, idx)
-                        dj = jnp.asarray(SPEC.encode([deltas[j]]),
-                                         dtype=jnp.int32)  # (L, 1) mont
-                        idv = M.montmul(SPEC, dj, omega_m)
-                        nt = M.add(SPEC, M.add(
-                            SPEC, v, M.montmul(SPEC, beta, idv)), gamma)
-                        dt = M.add(SPEC, M.add(
-                            SPEC, v, M.montmul(SPEC, beta, sigma_s[j])),
-                            gamma)
-                        num = nt if num is None else M.montmul(SPEC, num, nt)
-                        den = dt if den is None else M.montmul(SPEC, den, dt)
-                    z = scan_z(num, den, carry)
-                    carry = z[:, usable:usable + 1]
-                    zs.append(z)
-                for li in range(nlk):
-                    a_beta = M.add(SPEC, lkm[2 * li], beta)
-                    s_gamma = M.add(SPEC, lkm[2 * li + 1], gamma)
-                    ap_beta = M.add(SPEC, lkp[2 * li], beta)
-                    sp_gamma = M.add(SPEC, lkp[2 * li + 1], gamma)
-                    num = M.montmul(SPEC, a_beta, s_gamma)
-                    den = M.montmul(SPEC, ap_beta, sp_gamma)
-                    zs.append(scan_z(num, den, _one_b((L, 1))))
-                tails = jax.vmap(lambda c: M.to_mont(SPEC, c))(tails_std)
+                num = den = None
+                for j in chunk:
+                    kind, idx = perm_cols[j]
+                    v = col(kind, idx)
+                    dj = jnp.asarray(SPEC.encode([deltas[j]]),
+                                     dtype=jnp.int32)  # (L, 1) mont
+                    idv = M.montmul(SPEC, dj, omega_m)
+                    nt = M.add(SPEC, M.add(
+                        SPEC, v, M.montmul(SPEC, beta, idv)), gamma)
+                    dt = M.add(SPEC, M.add(
+                        SPEC, v, M.montmul(SPEC, beta, sigma_s[j])), gamma)
+                    num = nt if num is None else M.montmul(SPEC, num, nt)
+                    den = dt if den is None else M.montmul(SPEC, den, dt)
+                z = _scan_z(num, den, carry, n, usable)
+                return z, z[:, usable:usable + 1]
+
+            return fn
+
+        return self._get(f"gpc{ci}", build)
+
+    def _gp_lookup(self, li: int):
+        n = self.n
+        usable = self.usable
+
+        def build():
+            def fn(lkm, lkp, beta, gamma):
+                num = M.montmul(SPEC, M.add(SPEC, lkm[2 * li], beta),
+                                M.add(SPEC, lkm[2 * li + 1], gamma))
+                den = M.montmul(SPEC, M.add(SPEC, lkp[2 * li], beta),
+                                M.add(SPEC, lkp[2 * li + 1], gamma))
+                return _scan_z(num, den, _one_b((L, 1)), n, usable)
+
+            return fn
+
+        return self._get(f"gplk{li}", build)
+
+    def _gp_finish(self, nzs: int):
+        usable = self.usable
+
+        def build():
+            def fn(zs, tails_std, rand_std):  # zs: tuple of (L, n)
                 z_stack = jnp.stack(zs)
+                tails = jax.vmap(lambda c: M.to_mont(SPEC, c))(tails_std)
                 if tails.shape[-1]:
                     z_stack = z_stack.at[:, :, usable + 1:].set(tails)
                 rnd = M.to_mont(SPEC, rand_std)
-                # commit stack: z columns ++ random poly, ready for the
-                # batched MSM without any eager restacking
                 return z_stack, rnd, jnp.concatenate(
                     [z_stack, rnd[None]], axis=0)
 
             return fn
 
-        return self._get("gp", build)(
-            advice_stack, fixed_stack, instance_stack, sigma_stack,
-            omega_mont, beta_t, gamma_t, lk_mont, lk_perm_mont,
-            z_tails_std, random_std)
+        return self._get(f"gpf{nzs}", build)
+
+    def grand_products(self, advice_stack, fixed_stack, instance_stack,
+                       sigma_stack, omega_mont, beta_t, gamma_t,
+                       lk_mont, lk_perm_mont, z_tails_std, random_std):
+        """Everything between the (beta, gamma) squeeze and the y squeeze,
+        except the commits: permutation z chunks (carry-chained across the
+        per-chunk graphs), lookup z's, tail blinding, and the vanishing
+        random polynomial. Returns (z_stack, random_lag, commit_stack)."""
+        nz, nlk = self.nz, self.nlk
+        zs = []
+        carry = _one_b((L, 1))
+        for ci in range(nz):
+            z, carry = self._gp_chunk(ci)(
+                advice_stack, fixed_stack, instance_stack, sigma_stack,
+                omega_mont, beta_t, gamma_t, carry)
+            zs.append(z)
+        for li in range(nlk):
+            zs.append(self._gp_lookup(li)(
+                lk_mont, lk_perm_mont, beta_t, gamma_t))
+        return self._gp_finish(nz + nlk)(tuple(zs), z_tails_std, random_std)
 
     # -- quotient input assembly: one dispatch, fixed row order -------------
     def lag_stack(self, advice_stack, instance_stack, z_stack,
