@@ -17,7 +17,25 @@ if "xla_cpu_parallel_codegen_split_count" not in flags:
     # intermittently in this container on the prover's montmul-heavy
     # graphs; serializing the backend compile avoids the race
     flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+if "xla_backend_optimization_level" not in flags:
+    # the optimizing passes themselves are the other intermittent
+    # SIGSEGV source on these graphs; tests run tiny shapes, so skip the
+    # expensive LLVM work entirely (also ~3x faster cold compiles)
+    flags = (flags + " --xla_backend_optimization_level=0"
+             " --xla_llvm_disable_expensive_passes=true").strip()
 os.environ["XLA_FLAGS"] = flags
+
+import resource  # noqa: E402
+
+# XLA:CPU's compiler threads inherit RLIMIT_STACK at creation; the
+# prover's montmul-heavy graphs are deep enough to blow the default 8MB
+# during backend compile (intermittent SIGSEGV in backend_compile_and_load).
+# Raise the soft limit before jax spawns any compile threads.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                        or _hard >= _want):
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 
 import jax  # noqa: E402
 
