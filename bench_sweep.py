@@ -27,7 +27,7 @@ def main():
     )
     from webauthn_halo2_tpu.fields.constants import P256_N
     from webauthn_halo2_tpu.fields.ref_curve import ecdsa_keygen, ecdsa_sign
-    from webauthn_halo2_tpu.plonk.keygen import keygen
+    from webauthn_halo2_tpu.plonk.pk_cache import keygen_cached
     from webauthn_halo2_tpu.plonk.prover import create_proof
     from webauthn_halo2_tpu.plonk.srs import get_srs
     from webauthn_halo2_tpu.plonk.verifier import verify_proof
@@ -45,7 +45,7 @@ def main():
         srs = get_srs(k)
         circuit = ECDSACircuit(params)
         cs, fixed, _a, copies = circuit.build(ECDSAInputs.dummy())
-        pk = keygen(srs, cs, fixed, copies)
+        pk = keygen_cached(srs, cs, fixed, copies)
 
         sk, pub = ecdsa_keygen()
         m = secrets.randbelow(P256_N)
