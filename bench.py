@@ -105,32 +105,35 @@ def main():
     assert ok, "benchmark proof failed verification"
 
     best = min(times)
-    print(json.dumps({
-        "metric": f"ecdsa_p256_proof_time_k{k}",
-        "value": round(best, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_K17_S / best, 3),
-    }), flush=True)
 
     if os.environ.get("WH2_TRACE"):
-        # speed-of-light table from the last proof's phase spans
-        from webauthn_halo2_tpu.plonk.prover import LAST_SPANS
-        from webauthn_halo2_tpu.utils.roofline import report
+        try:
+            # speed-of-light table from the last proof's phase spans
+            from webauthn_halo2_tpu.plonk.prover import LAST_SPANS
+            from webauthn_halo2_tpu.utils.roofline import report
 
-        spans = {
-            "commits": LAST_SPANS.get("advice encode+commit", 0)
-            + LAST_SPANS.get("grand products + z commits", 0),
-            "quotient": LAST_SPANS.get("quotient (conversions + h)", 0),
-            "evals": LAST_SPANS.get("evaluations", 0),
-            "multiopen": LAST_SPANS.get("multiopen", 0),
-        }
-        log(report(spans, k=k))
+            spans = {
+                "commits": LAST_SPANS.get("advice encode+commit", 0)
+                + LAST_SPANS.get("grand products + z commits", 0),
+                "quotient": LAST_SPANS.get("quotient (conversions + h)", 0),
+                "evals": LAST_SPANS.get("evaluations", 0),
+                "multiopen": LAST_SPANS.get("multiopen", 0),
+            }
+            log(report(spans, k=k))
+        except Exception as e:
+            log(f"roofline report skipped: {e}")
 
-    # secondary metric: MSM throughput (BASELINE.json: Mpoints/s per chip)
+    # secondary metric: MSM throughput (BASELINE.json: Mpoints/s per chip).
+    # Every rep is anchored by an np.asarray pull of the result coords:
+    # block_until_ready does NOT wait for deserialized-executable outputs
+    # on this backend (results/ROUND3.md — round 1's "104 Mpoints/s" was
+    # that artifact), so only a real device->host data pull counts.
+    mpoints = None
     try:
-        import jax as _jax
-        import jax.numpy as jnp
         import secrets as _sec
+
+        import jax.numpy as jnp
+        import numpy as _np
 
         from webauthn_halo2_tpu.fields.limbs import FR_SPEC
         from webauthn_halo2_tpu.ops import ec as E
@@ -139,15 +142,35 @@ def main():
         sc = jnp.asarray(FR_SPEC.encode(
             [_sec.randbelow(FR_SPEC.p) for _ in range(1 << k)]
         ))
-        _jax.block_until_ready(msm(E.BN254_CURVE, srs.g_lag, sc))  # warm
+
+        def one_msm():
+            r = msm(E.BN254_CURVE, srs.g_lag, sc)
+            # anchored: the timing fence is the host copy of the result
+            return (_np.asarray(r.x), _np.asarray(r.y), _np.asarray(r.z))
+
+        one_msm()  # warm
         t0 = time.time()
         reps = 3
         for _ in range(reps):
-            _jax.block_until_ready(msm(E.BN254_CURVE, srs.g_lag, sc))
+            one_msm()
         per = (time.time() - t0) / reps
-        log(f"msm k={k}: {per:.3f}s -> {(1 << k) / per / 1e6:.2f} Mpoints/s")
+        mpoints = (1 << k) / per / 1e6
+        log(f"msm k={k}: {per:.3f}s -> {mpoints:.2f} Mpoints/s (anchored)")
     except Exception as e:  # secondary metric must not break the bench
         log(f"msm metric skipped: {e}")
+
+    record = {
+        "metric": f"ecdsa_p256_proof_time_k{k}",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_K17_S / best, 3),
+        # BASELINE.md metric lines: proofs/s (single-chip steady state,
+        # witness+prove) and MSM Mpoints/s per chip, anchored timers
+        "proofs_per_s": round(1.0 / best, 4),
+    }
+    if mpoints is not None:
+        record["mpoints_per_s"] = round(mpoints, 3)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -208,9 +208,10 @@ def generate_proofs_batch(
                 le_bytes_to_int(req["pubkey_y"])),
         )
         advice = circuit.witness(inputs)
+        instances = circuit.public_inputs(inputs)
         if scheme == "gwc":
-            out.append(create_proof(pk, advice, [], scheme="gwc",
+            out.append(create_proof(pk, advice, instances, scheme="gwc",
                                     transcript=KeccakWrite()))
         else:
-            out.append(create_proof(pk, advice, []))
+            out.append(create_proof(pk, advice, instances))
     return out

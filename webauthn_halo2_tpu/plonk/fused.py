@@ -21,6 +21,7 @@ distinct circuits never share stale executables.
 from __future__ import annotations
 
 import functools
+import hashlib
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,17 @@ def _scan_z(num, den, carry, n: int, usable: int):
 # ---------------------------------------------------------------------------
 
 _GLOBAL_FNS: dict = {}  # circuit tag -> {graph key -> wrapped callable}
+
+
+def _stable_key(obj) -> str:
+    """Collision-safe, process-stable graph-cache key from a plan tuple.
+
+    Python's hash() is salted per process (strings) and was truncated to
+    24 bits here; a collision between two plans within one circuit tag
+    would silently reuse the wrong compiled graph. 64-bit blake2b of the
+    repr is deterministic across processes (it also keys the AOT disk
+    cache) and collision-free for the handful of plans per circuit."""
+    return hashlib.blake2b(repr(obj).encode(), digest_size=8).hexdigest()
 
 
 class FusedPhases:
@@ -449,7 +461,7 @@ class FusedPhases:
 
             return fn
 
-        key = f"ev{abs(hash((plan_key, rots_key))) & 0xFFFFFF:06x}"
+        key = f"ev{_stable_key((plan_key, rots_key))}"
         return self._get(key, build)(
             coeff_stack, fixed_coeff, sigma_coeff, h_pieces, pts_mont, xn_t)
 
@@ -484,8 +496,8 @@ class FusedPhases:
 
             return fn
 
-        key = abs(hash((npts, members))) & 0xFFFFFF
-        return self._get(f"shs{key:06x}", build)
+        key = _stable_key((npts, members))
+        return self._get(f"shs{key}", build)
 
     def _shp_combine(self, S: int):
         k = self.domain.k
@@ -576,8 +588,8 @@ class FusedPhases:
 
             return fn
 
-        key = abs(hash(members)) & 0xFFFFFF
-        return self._get(f"gwc1_{key:06x}", build)
+        key = _stable_key(members)
+        return self._get(f"gwc1_{key}", build)
 
     def gwc_w(self, group_struct, ucoeff, v_t, rcomb_list, zpts_list):
         """group_struct: tuple of (unified_idx...) per rotation group (in

@@ -27,6 +27,23 @@ from .srs import SRS
 
 
 def _cs_repr(cs: CS.ConstraintSystem) -> bytes:
+    # cs.degree() is included explicitly: it determines extended-domain
+    # shapes and h-piece counts, and its computation has changed across
+    # cache-format revisions (e.g. true gate degree for permutation-free
+    # circuits) — without it a pk cached by older code could load with
+    # stale tensor shapes. "v2" bumps the format for that change.
+    return repr(
+        ("v2", cs.degree(), cs.num_fixed, cs.num_advice, cs.num_instance,
+         [(nm, str(g)) for nm, g in cs.gates],
+         [(lk.name, [str(e) for e in lk.inputs], [str(e) for e in lk.tables])
+          for lk in cs.lookups],
+         cs.perm_columns)
+    ).encode()
+
+
+def _cs_repr_v1(cs: CS.ConstraintSystem) -> bytes:
+    """Round-3 cs repr (no degree field) — kept only to locate and migrate
+    cache artifacts written before the v2 format bump."""
     return repr(
         (cs.num_fixed, cs.num_advice, cs.num_instance,
          [(nm, str(g)) for nm, g in cs.gates],
@@ -37,7 +54,8 @@ def _cs_repr(cs: CS.ConstraintSystem) -> bytes:
 
 
 def pk_digest(k: int, cs: CS.ConstraintSystem, fixed_cols: list,
-              copies: list, tau_seed: bytes | None = b"dev") -> str:
+              copies: list, tau_seed: bytes | None = b"dev",
+              cs_repr=None) -> str:
     """Cache key: everything keygen's output depends on — the SRS identity
     (k + tau seed: vk commitments and pk.srs both depend on the full SRS,
     not just its size) and the circuit description. tau_seed=None computes
@@ -48,7 +66,7 @@ def pk_digest(k: int, cs: CS.ConstraintSystem, fixed_cols: list,
     if tau_seed is not None:
         h.update(b"srs-seed:")
         h.update(tau_seed)
-    h.update(_cs_repr(cs))
+    h.update((cs_repr or _cs_repr)(cs))
     for col in fixed_cols:
         h.update(np.asarray(
             ints_to_limbs_fast([int(v) for v in col]), dtype=np.int32
@@ -146,15 +164,24 @@ def keygen_cached(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list,
     os.makedirs(cache_dir, exist_ok=True)
     digest = pk_digest(srs.k, cs, fixed_cols, copies, srs.tau_seed)
     path = os.path.join(cache_dir, f"pk_k{srs.k}_{digest}.npz")
-    if not os.path.exists(path) and srs.tau_seed == b"dev":
-        # migrate a legacy (seed-less digest) artifact: those were only
-        # ever generated under the default b"dev" SRS
-        legacy = os.path.join(
-            cache_dir,
-            f"pk_k{srs.k}_{pk_digest(srs.k, cs, fixed_cols, copies, None)}.npz",
-        )
-        if os.path.exists(legacy):
-            os.replace(legacy, path)
+    if not os.path.exists(path):
+        # migrate artifacts written under older digest formats (content is
+        # unchanged — only the cache key format evolved): v1 repr without
+        # the degree field, and the round-2 seed-less digest (those were
+        # only ever generated under the default b"dev" SRS)
+        legacy_digests = [
+            pk_digest(srs.k, cs, fixed_cols, copies, srs.tau_seed,
+                      cs_repr=_cs_repr_v1),
+        ]
+        if srs.tau_seed == b"dev":
+            legacy_digests.append(
+                pk_digest(srs.k, cs, fixed_cols, copies, None,
+                          cs_repr=_cs_repr_v1))
+        for ld in legacy_digests:
+            legacy = os.path.join(cache_dir, f"pk_k{srs.k}_{ld}.npz")
+            if os.path.exists(legacy):
+                os.replace(legacy, path)
+                break
     if os.path.exists(path):
         return load_pk(path, srs, cs)
     pk = keygen(srs, cs, fixed_cols, copies)

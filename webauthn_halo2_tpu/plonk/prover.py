@@ -59,9 +59,12 @@ class _Span:
 
     def __exit__(self, *a):
         if os.environ.get("WH2_TRACE"):
-            # a fresh tiny computation completes only after everything
-            # already enqueued on the (single) device stream
-            jnp.zeros(1).block_until_ready()
+            # anchor with a REAL device->host pull: on the tunneled axon
+            # backend block_until_ready does NOT wait for
+            # deserialized-executable outputs (results/ROUND3.md), so a
+            # tiny D2H enqueued after everything on the single device
+            # stream is the only trustworthy fence
+            np.asarray(jnp.zeros((8, 128)))
             dt = _time.time() - self.t0
             LAST_SPANS[self.name] = dt
             print(f"[span] {self.name}: {dt:.3f}s",

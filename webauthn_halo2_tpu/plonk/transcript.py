@@ -66,7 +66,12 @@ class Blake2bBase:
     def common_point(self, pt) -> None:
         # identity absorbs as zero coordinates (halo2curves serializes the
         # identity to all-zero bytes; a zero quotient piece legitimately
-        # commits to the identity)
+        # commits to the identity). DEVIATION from upstream halo2: the PSE
+        # Blake2bRead transcript REJECTS points at infinity on read, so a
+        # proof containing an identity commitment is not cross-verifiable
+        # with the reference verifier. Commitments here are unblinded, so
+        # the identity is reachable (e.g. an all-zero column); accepting it
+        # keeps prover/verifier self-consistent within this framework.
         x, y = (0, 0) if pt is None else pt
         self.state.update(PREFIX_POINT)
         self.state.update(to_le_bytes(x, 32))

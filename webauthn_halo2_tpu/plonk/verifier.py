@@ -305,8 +305,12 @@ _G_LAG_CACHE: dict = {}
 
 
 def _g_lag_prefix(srs, m: int) -> list:
-    """First m Lagrange-basis SRS points as host affine ints (cached)."""
-    key = (id(srs), m)
+    """First m Lagrange-basis SRS points as host affine ints (cached).
+
+    Keyed by stable SRS identity (seed, k) rather than id(srs): an id can
+    be reused after garbage collection, which would silently serve points
+    from a different SRS."""
+    key = (srs.tau_seed, srs.k, m)
     if key not in _G_LAG_CACHE:
         from ..ops import ec as E
 
