@@ -317,6 +317,136 @@ def _interior(spec: FieldSpec, px, py, digs, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
+# kernel 1 v2: list-form limbs + packed-word inputs (round-4 speed path)
+# ---------------------------------------------------------------------------
+# Differences from _interior_kernel (see ops/limbvec.py header):
+#   * field elements are Python lists of (SUB, LANES) tiles — the CIOS limb
+#     shift is free list reindexing instead of a cross-sublane concatenate;
+#   * points arrive as 8 packed uint32 words per coordinate (gather moves
+#     8/33 of the data) and are unpacked with in-register shifts;
+#   * modulus/pad constants are Python-int immediates (no const refs).
+
+V2_SUB = 8  # sublane tile height; K lanes per step = V2_SUB * (K // V2_SUB)
+
+
+def _interior_kernel_v2(consts, S, pxw_ref, pyw_ref, d_ref,
+                        ex_ref, ey_ref, ez_ref, lab_ref,
+                        ax_ref, ay_ref, az_ref, cur_ref,
+                        fx_ref, fy_ref, fz_ref, fdig_ref, hasf_ref):
+    from . import limbvec as V
+
+    t = pl.program_id(1)
+    d = d_ref[0, 0, 0]                       # (SUB, LN) digits
+    px = V.unpack_words([pxw_ref[0, 0, w] for w in range(V.NW)])
+    py = V.unpack_words([pyw_ref[0, 0, w] for w in range(V.NW)])
+    one_l = [jnp.full_like(d, v) for v in consts["one"]]
+    zero_l = [jnp.zeros_like(d) for _ in range(L)]
+
+    def read_pt(xr, yr, zr):
+        return ([xr[0, i] for i in range(L)],
+                [yr[0, i] for i in range(L)],
+                [zr[0, i] for i in range(L)])
+
+    def write_pt(xr, yr, zr, p):
+        for i in range(L):
+            xr[0, i] = p[0][i]
+            yr[0, i] = p[1][i]
+            zr[0, i] = p[2][i]
+
+    def write_emit(p):
+        for i in range(L):
+            ex_ref[0, 0, i] = p[0][i]
+            ey_ref[0, 0, i] = p[1][i]
+            ez_ref[0, 0, i] = p[2][i]
+
+    @pl.when(t == 0)
+    def _init():
+        write_pt(ax_ref, ay_ref, az_ref, (px, py, one_l))
+        cur_ref[0] = d
+        hasf_ref[0] = jnp.zeros_like(d)
+        fdig_ref[0] = jnp.zeros_like(d)
+        write_pt(fx_ref, fy_ref, fz_ref, (one_l, one_l, zero_l))
+        lab_ref[0, 0, 0] = d
+        write_emit((one_l, one_l, zero_l))
+
+    @pl.when(t > 0)
+    def _step():
+        cur = cur_ref[0]
+        hasf = hasf_ref[0]
+        acc = read_pt(ax_ref, ay_ref, az_ref)
+        new_run = d != cur
+        emit_real = new_run & (hasf > 0)
+        lab_ref[0, 0, 0] = cur
+        write_emit((V.select(emit_real, acc[0], one_l),
+                    V.select(emit_real, acc[1], one_l),
+                    V.select(emit_real, acc[2], zero_l)))
+        cap = new_run & (hasf == 0)
+        first = read_pt(fx_ref, fy_ref, fz_ref)
+        write_pt(fx_ref, fy_ref, fz_ref,
+                 (V.select(cap, acc[0], first[0]),
+                  V.select(cap, acc[1], first[1]),
+                  V.select(cap, acc[2], first[2])))
+        fdig_ref[0] = jnp.where(cap, cur, fdig_ref[0])
+        hasf_ref[0] = hasf | new_run.astype(hasf.dtype)
+        g = V.madd(acc[0], acc[1], acc[2], px, py, consts)
+        write_pt(ax_ref, ay_ref, az_ref,
+                 (V.select(new_run, px, g[0]),
+                  V.select(new_run, py, g[1]),
+                  V.select(new_run, one_l, g[2])))
+        cur_ref[0] = d
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _interior_v2(spec: FieldSpec, pxw, pyw, digs, interpret: bool):
+    """pxw/pyw: (R, S, NW, SUB, LN) packed sorted coords;
+    digs: (R, S, 1, SUB, LN). Same outputs as _interior but with the
+    trailing K axis split (SUB, LN)."""
+    from . import limbvec as V
+
+    R_, S, _, SUB, LN = pxw.shape
+    consts = V.spec_consts(spec)
+    blk_w = pl.BlockSpec((1, 1, V.NW, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_e = pl.BlockSpec((1, 1, L, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_dig = pl.BlockSpec((1, 1, 1, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    blk_fin = pl.BlockSpec((1, L, SUB, LN), lambda r, t: (r, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    blk_vec = pl.BlockSpec((1, SUB, LN), lambda r, t: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sds = jax.ShapeDtypeStruct
+    out_shape = (
+        sds((R_, S, L, SUB, LN), jnp.int32),   # emit x
+        sds((R_, S, L, SUB, LN), jnp.int32),   # emit y
+        sds((R_, S, L, SUB, LN), jnp.int32),   # emit z
+        sds((R_, S, 1, SUB, LN), jnp.int32),   # labels
+        sds((R_, L, SUB, LN), jnp.int32),      # final acc x/y/z
+        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, SUB, LN), jnp.int32),         # final cur
+        sds((R_, L, SUB, LN), jnp.int32),      # first run x/y/z
+        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, SUB, LN), jnp.int32),         # first dig
+        sds((R_, SUB, LN), jnp.int32),         # has first
+    )
+    return pl.pallas_call(
+        functools.partial(_interior_kernel_v2, consts, S),
+        out_shape=out_shape,
+        grid=(R_, S),
+        in_specs=[blk_w, blk_w, blk_dig],
+        out_specs=(blk_e, blk_e, blk_e, blk_dig,
+                   blk_fin, blk_fin, blk_fin, blk_vec,
+                   blk_fin, blk_fin, blk_fin, blk_vec, blk_vec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pxw, pyw, digs)
+
+
+# ---------------------------------------------------------------------------
 # kernel 2: bucket combine  sum_b b*B_b  (single launch, VMEM-resident)
 # ---------------------------------------------------------------------------
 
@@ -605,6 +735,160 @@ def _msm_pallas_single(curve: CurveSpec, points: JPoint,
     wsum = JPoint(wx[..., :1], wy[..., :1], wz[..., :1])  # (R, L, 1)
 
     # Horner over windows
+    ws = JPoint(
+        wsum.x.reshape(Bm, W, L), wsum.y.reshape(Bm, W, L),
+        wsum.z.reshape(Bm, W, L),
+    )
+
+    def horner(i, acc):
+        w = W - 2 - i
+        s = JPoint(
+            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.x, w, 1, False), 0, 1),
+            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.y, w, 1, False), 0, 1),
+            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.z, w, 1, False), 0, 1),
+        )
+        for _ in range(c):
+            acc = E.double(curve, acc)
+        return E.add_unsafe(curve, acc, s)
+
+    top = JPoint(ws.x[:, W - 1].T, ws.y[:, W - 1].T, ws.z[:, W - 1].T)
+    return jax.lax.fori_loop(0, W - 1, horner, top)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_pallas_single_v2(curve: CurveSpec, points: JPoint,
+                          scalars_mont: jnp.ndarray, c: int,
+                          k_lanes: int, interpret: bool) -> JPoint:
+    """One MSM via the v2 interior (packed gather + list-form limbs).
+
+    Same result as _msm_pallas_single; front end differs:
+      * single packed int32 sort key (digit << log2(n) | index) when it
+        fits 31 bits — halves XLA sort traffic vs the two-operand sort;
+      * coords are gathered as 8 packed words, not 33 limb planes.
+    """
+    from . import limbvec as V
+
+    f_r = _fr_spec()
+    f_q = curve.field
+    n = scalars_mont.shape[1]
+    Bm = 1
+    K = k_lanes
+    S = n // K
+    nb = 1 << c
+    G = min(COMBINE_G, nb)
+    m = nb // G
+    SUB = V2_SUB
+    LN = K // SUB
+
+    std = M.normalize(f_r, M.from_mont(f_r, scalars_mont))
+    from .msm import scalar_digits
+
+    digits = scalar_digits(std, c)  # (W, n)
+    W = digits.shape[0]
+    R_ = W
+    logn = n.bit_length() - 1
+
+    if c + logn <= 31:
+        key = (digits << logn) | jnp.arange(n, dtype=jnp.int32)[None]
+        skey = jax.lax.sort(key, dimension=1)
+        sdig = skey >> logn
+        order = skey & (n - 1)
+    else:
+        idx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], digits.shape)
+        sdig, order = jax.lax.sort((digits, idx), dimension=1, num_keys=1)
+
+    # pack coords to words once, then gather word planes (8/33 the bytes)
+    pxw_full = jnp.stack(V.pack_words([points.x[i] for i in range(L)]))
+    pyw_full = jnp.stack(V.pack_words([points.y[i] for i in range(L)]))
+
+    def gatw(wds):  # (NW, n) -> (R, S, NW, SUB, LN)
+        g = wds[:, order]                       # (NW, R, n)
+        g = jnp.moveaxis(g, 1, 0)               # (R, NW, n)
+        g = jnp.transpose(g.reshape(R_, V.NW, K, S), (0, 3, 1, 2))
+        return g.reshape(R_, S, V.NW, SUB, LN)
+
+    pxw = gatw(pxw_full)
+    pyw = gatw(pyw_full)
+    digs = jnp.transpose(sdig.reshape(R_, 1, K, S), (0, 3, 1, 2))
+    digs = digs.reshape(R_, S, 1, SUB, LN)
+
+    outs = _interior_v2(f_q, pxw, pyw, digs, interpret)
+    # fold the (SUB, LN) tile split back to the flat K lane axis; stage D
+    # onward is identical to v1
+    (ex, ey, ez, labs, acx, acy, acz, cur, fx, fy, fz, fdig, hasf) = (
+        o.reshape(o.shape[:-2] + (o.shape[-2] * o.shape[-1],))
+        for o in outs
+    )
+    labs = labs[:, :, None] if labs.ndim == 2 else labs
+    cur = cur[:, None] if cur.ndim == 2 else cur
+    fdig = fdig[:, None] if fdig.ndim == 2 else fdig
+    hasf = hasf[:, None] if hasf.ndim == 2 else hasf
+
+    def lm(e):  # (R, S, L, K) -> (R, L, n)
+        return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, L, n)
+
+    ex, ey, ez = lm(ex), lm(ey), lm(ez)
+    labs = jnp.transpose(labs, (0, 2, 3, 1)).reshape(R_, n)
+
+    targets = jnp.arange(nb, dtype=jnp.int32)
+    pos = jax.vmap(
+        lambda lr: jnp.searchsorted(lr, targets, side="right").astype(jnp.int32)
+    )(labs) - 1
+    pos = jnp.maximum(pos, 0)
+    hit = jnp.take_along_axis(labs, pos, axis=1) == targets[None]
+
+    def fill(e):  # (R, L, n) -> (R, L, nb)
+        return jnp.take_along_axis(
+            e, jnp.broadcast_to(pos[:, None, :], (R_, L, nb)), axis=2
+        )
+
+    one_col = jnp.asarray(
+        np.asarray(f_q.one_mont).reshape(1, L, 1), jnp.int32
+    )
+    bx = jnp.where(hit[:, None, :], fill(ex), one_col)
+    by = jnp.where(hit[:, None, :], fill(ey), one_col)
+    bz = jnp.where(hit[:, None, :], fill(ez), 0)
+
+    hasf_b = hasf[:, 0, :] > 0
+    a_dig = jnp.where(hasf_b, fdig[:, 0, :], cur[:, 0, :])
+    inf_xy = jnp.broadcast_to(one_col, (R_, L, K))
+    a_x = jnp.where(hasf_b[:, None, :], fx, inf_xy)
+    a_y = jnp.where(hasf_b[:, None, :], fy, inf_xy)
+    a_z = jnp.where(hasf_b[:, None, :], fz, 0)
+    seg = jnp.stack([a_dig, cur[:, 0, :]], axis=2).reshape(R_, 2 * K)
+    bnd = JPoint(
+        jnp.stack([a_x, acx], axis=3).reshape(R_, L, 2 * K),
+        jnp.stack([a_y, acy], axis=3).reshape(R_, L, 2 * K),
+        jnp.stack([a_z, acz], axis=3).reshape(R_, L, 2 * K),
+    )
+    from .msm import _prefix_scan_points
+
+    merged = jax.vmap(
+        lambda p_x, p_y, p_z, s: _prefix_scan_points(
+            curve, JPoint(p_x, p_y, p_z), s
+        )
+    )(bnd.x, bnd.y, bnd.z, seg)
+    is_tail = jnp.concatenate(
+        [seg[:, :-1] != seg[:, 1:], jnp.ones((R_, 1), bool)], axis=1
+    )
+    target = jnp.where(is_tail, seg, nb)
+
+    def scat(b, vals):
+        return jax.vmap(
+            lambda bb, tt, vv: bb.at[:, tt].set(vv, mode="drop")
+        )(b, target, vals)
+
+    bx = scat(bx, merged.x)
+    by = scat(by, merged.y)
+    bz = scat(bz, merged.z)
+
+    def to_mg(b):
+        return jnp.transpose(b.reshape(R_, L, G, m), (0, 3, 1, 2))
+
+    wx, wy, wz = _combine(f_q, to_mg(bx), to_mg(by), to_mg(bz), interpret)
+    wsum = JPoint(wx[..., :1], wy[..., :1], wz[..., :1])
+
     ws = JPoint(
         wsum.x.reshape(Bm, W, L), wsum.y.reshape(Bm, W, L),
         wsum.z.reshape(Bm, W, L),

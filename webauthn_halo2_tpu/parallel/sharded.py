@@ -105,44 +105,74 @@ def _ntt_shard_consts(k: int, D: int):
 
 
 def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Forward NTT of size 2^k, polynomial axis sharded over the mesh.
+    """Forward NTT of size 2^k, polynomial axis sharded over the mesh —
+    constant per-device memory via the all_to_all transpose (SURVEY §2.3,
+    the "sequence-parallel" analog: the polynomial axis is the long axis).
 
-    Split a[i] with i = i1*n2 + i2 (rows i1 on devices):
-      inner[j1][i2] = sum_{i1} omega_D^{i1 j1} * a[i1*n2 + i2]   (all_gather)
-      X[j1 + D*j2]  = NTT_n2 over i2 of ( omega^{i2 j1} * inner[j1][i2] )
-    Device j1 ends up holding X[j1 + D*j2] for all j2.
+    Split a[i] with i = i1*n2 + i2 (rows i1 on devices); output index
+    j = j1 + D*j2. Four steps, classic transpose-based distributed FFT:
+
+      1. all_to_all #1: re-partition from i1-sharded to i2-block-sharded
+         — device c then holds a[i1, i2] for ALL i1 and its n2/D slice
+         of i2 (per-device footprint stays (L, n2): no replication,
+         unlike the round-3 all_gather design which held D*n2 rows).
+      2. local D-point DFT across the now-local i1 axis:
+             inner[j1, i2] = sum_i1 omega_D^(i1 j1) a[i1, i2]
+         + the cross twiddle omega^(i2 j1) (i2 global: the device's block
+         offset is static per shard via axis_index).
+      3. all_to_all #2: re-partition from i2-blocks back to j1-sharded.
+      4. local length-n2 NTT over i2 -> X[j1 + D*j2] on device j1.
+
+    Bit-identical to the single-chip N.ntt (asserted in
+    tests/test_sharding.py).
     """
     axis = mesh.axis_names[0]
     D = int(mesh.devices.size)
     n = 1 << k
-    assert n % D == 0 and (D & (D - 1)) == 0
+    assert n % (D * D) == 0 and (D & (D - 1)) == 0
     n2 = n // D
+    n2d = n2 // D
     k2 = n2.bit_length() - 1
     dft_np, tw_np = _ntt_shard_consts(k, D)
-    dft_t = jnp.asarray(dft_np)
-    tw_t = jnp.asarray(tw_np)
+    dft_t = jnp.asarray(dft_np)          # (L, j1, i1)
+    # twiddle table re-chunked by i2 blocks: (L, j1, c, n2d) -> shard on c
+    tw_t = jnp.asarray(tw_np).reshape(L, D, D, n2d)
 
     rows = a.reshape(L, D, n2)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(None, axis, None), P(None, axis, None),
+        in_specs=(P(None, axis, None), P(None, None, axis, None),
                   P(None, None, None)),
         out_specs=P(None, axis, None),
     )
     def stage(row_blk, tw_blk, dft_full):
-        allrows = jax.lax.all_gather(row_blk, axis, axis=1, tiled=True)
-        j1 = jax.lax.axis_index(axis)
-        acc = None
-        for i1 in range(D):
-            coef = jax.lax.dynamic_index_in_dim(
-                dft_full[:, :, i1], j1, 1, keepdims=True
-            )  # (L, 1)
-            term = M.montmul(FR_SPEC, allrows[:, i1], coef)
-            acc = term if acc is None else M.add(FR_SPEC, acc, term)
-        t = M.montmul(FR_SPEC, acc, tw_blk[:, 0])
-        y = N._ntt_core(FR_SPEC, t, k2, False, FR_SPEC.p, N._base_root(FR_SPEC))
-        return y[:, None, :]
+        # row_blk: (L, 1, n2) — this device's i1 row
+        # 1) split the local i2 range into D chunks and transpose
+        t = row_blk.reshape(L, D, n2d)           # axis 1: i2-chunk c
+        recv = jax.lax.all_to_all(
+            t, axis, split_axis=1, concat_axis=1, tiled=True
+        )                                        # (L, D, n2d): axis 1 = i1
+        # 2) short DFT over i1 (now local) for every j1, + cross twiddle
+        outs = []
+        for j1 in range(D):
+            acc = None
+            for i1 in range(D):
+                coef = dft_full[:, j1:j1 + 1, i1]     # (L, 1)
+                term = M.montmul(FR_SPEC, recv[:, i1], coef)
+                acc = term if acc is None else M.add(FR_SPEC, acc, term)
+            # tw_blk: (L, j1, 1, n2d) — this device's i2 block of the
+            # omega^(i2 j1) table
+            outs.append(M.montmul(FR_SPEC, acc, tw_blk[:, j1, 0]))
+        y = jnp.stack(outs, axis=1)              # (L, D(j1), n2d)
+        # 3) transpose back: j1 -> devices, i2 blocks -> local axis
+        back = jax.lax.all_to_all(
+            y, axis, split_axis=1, concat_axis=2, tiled=True
+        )                                        # (L, 1, D*n2d = n2)
+        # 4) local long NTT over the full i2 range
+        z = N._ntt_core(FR_SPEC, back[:, 0], k2, False, FR_SPEC.p,
+                        N._base_root(FR_SPEC))
+        return z[:, None, :]
 
     out = stage(rows, tw_t, dft_t)  # (L, D, n2): [j1, j2] = X[j1 + D*j2]
     return out.transpose(0, 2, 1).reshape(L, n)
