@@ -106,7 +106,19 @@ def simulate(n: int, argv: list[str]) -> int:
     """Spawn n local worker processes (CPU backend) and merge results."""
     procs = []
     for i in range(n):
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # CPU-only workers: disable the axon plugin handshake (a wedged
+        # tunnel otherwise hangs `import jax`), and apply the same
+        # XLA:CPU crash mitigations as tests/conftest.py — montmul-heavy
+        # backend compiles segfault intermittently without them
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+            XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                       + " --xla_cpu_parallel_codegen_split_count=1"
+                       + " --xla_backend_optimization_level=0"
+                       + " --xla_llvm_disable_expensive_passes=true").strip(),
+        )
         cmd = [sys.executable, os.path.abspath(__file__),
                "--num-hosts", str(n), "--host-id", str(i)] + argv
         procs.append(subprocess.Popen(cmd, env=env,

@@ -257,3 +257,81 @@ def test_entrypoint_gated_setters_and_inherit(world):
     # a stranger cannot inherit
     assert not _call(chain, 0x9999, account,
                      selector("inherit()").to_bytes(4, "big")).success
+
+
+def test_stake_manager_lifecycle(world):
+    """StakeManager surface (core/StakeManager.sol parity): addStake /
+    unlockStake / withdrawStake / getDepositInfo."""
+    chain, suite, _ = world
+    ep = suite["entry_point"]
+    add_stake = selector("addStake(uint32)").to_bytes(4, "big") \
+        + (100).to_bytes(32, "big")
+    # zero delay rejected
+    assert not _call(chain, RICHARD, ep,
+                     selector("addStake(uint32)").to_bytes(4, "big")
+                     + (0).to_bytes(32, "big"), value=ETH).success
+    assert _call(chain, RICHARD, ep, add_stake, value=2 * ETH).success
+    # decreasing the delay is rejected
+    assert not _call(chain, RICHARD, ep,
+                     selector("addStake(uint32)").to_bytes(4, "big")
+                     + (50).to_bytes(32, "big")).success
+    info = _call(chain, RICHARD, ep,
+                 selector("getDepositInfo(address)").to_bytes(4, "big")
+                 + RICHARD.to_bytes(32, "big"))
+    assert info.success
+    assert _word(info, 1) == 1            # staked
+    assert _word(info, 2) == 2 * ETH      # stake
+    assert _word(info, 3) == 100          # unstakeDelaySec
+    # withdraw before unlock rejected
+    wd = selector("withdrawStake(address)").to_bytes(4, "big") \
+        + (0x7777).to_bytes(32, "big")
+    assert not _call(chain, RICHARD, ep, wd).success
+    assert _call(chain, RICHARD, ep,
+                 selector("unlockStake()").to_bytes(4, "big")).success
+    # unlock twice rejected (no longer staked)
+    assert not _call(chain, RICHARD, ep,
+                     selector("unlockStake()").to_bytes(4, "big")).success
+    # withdraw before the delay elapses rejected
+    assert not _call(chain, RICHARD, ep, wd).success
+    chain.timestamp += 101
+    assert _call(chain, RICHARD, ep, wd).success
+    assert chain.account(0x7777).balance == 2 * ETH
+    info = _call(chain, RICHARD, ep,
+                 selector("getDepositInfo(address)").to_bytes(4, "big")
+                 + RICHARD.to_bytes(32, "big"))
+    assert _word(info, 2) == 0
+
+
+def test_simulate_validation(world):
+    """simulateValidation (core/EntryPoint.sol:503): always reverts —
+    ValidationResult with sigFailed=false for a valid proof, true for a
+    garbage signature; decodes ReturnInfo and stake info."""
+    chain, suite, proof = world
+    account = _create_account(chain, suite)
+    _fund_deposit(chain, suite, account, 10 * ETH)
+    from webauthn_halo2_tpu.chain.contracts import \
+        VALIDATION_RESULT_SELECTOR
+
+    op = _user_op(chain, suite, account, proof)
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_simulate_validation(op))
+    assert not res.success, "simulateValidation must always revert"
+    assert int.from_bytes(res.output[:4], "big") == VALIDATION_RESULT_SELECTOR
+    body = res.output[4:]
+    ri_off = int.from_bytes(body[0:32], "big")
+    assert ri_off == 0xE0
+    sig_failed = int.from_bytes(body[ri_off + 64:ri_off + 96], "big")
+    assert sig_failed == 0
+    prefund = int.from_bytes(body[ri_off + 32:ri_off + 64], "big")
+    assert prefund == op.max_fee_per_gas * (
+        op.call_gas_limit + op.verification_gas_limit
+        + op.pre_verification_gas)
+
+    bad = _user_op(chain, suite, account, b"\x00" * len(proof))
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_simulate_validation(bad))
+    assert not res.success
+    assert int.from_bytes(res.output[:4], "big") == VALIDATION_RESULT_SELECTOR
+    body = res.output[4:]
+    sig_failed = int.from_bytes(body[0xE0 + 64:0xE0 + 96], "big")
+    assert sig_failed == 1

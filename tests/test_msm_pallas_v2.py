@@ -1,8 +1,14 @@
 """v2 fused-Pallas MSM engine (list-form limbs, packed gather) conformance.
 
-Layered: (1) the v2 interior kernel is bit-exact vs the v1 interior on a
-fabricated sorted stream (fast, interpret mode); (2) the full v2 single-MSM
-driver matches the host curve oracle (slow, interpret mode)."""
+The v2 kernel body fully unrolls the 33-limb list arithmetic (~30k ops),
+which makes Pallas interpret mode unusable on CPU (minutes per grid
+step) — so kernel-level checks here run COMPILED and are TPU-only; CPU CI
+covers the same math through tests/test_limbvec.py (host-oracle checks of
+the identical bodies). The v2 driver is additionally cross-checked
+bit-exactly against the v1 driver + host oracle on TPU by
+scripts/dev_msm_v2.py before being wired as the default commit path.
+"""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -12,6 +18,12 @@ from webauthn_halo2_tpu.fields.ref_curve import BN254_G1_CURVE
 from webauthn_halo2_tpu.ops import ec as E
 from webauthn_halo2_tpu.ops import limbvec as V
 from webauthn_halo2_tpu.ops import msm_pallas as MP
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="v2 kernels validate compiled on TPU (interpret mode is "
+           "minutes/step for the unrolled limb lists; see module docstring)",
+)
 
 _rng = np.random.default_rng(77)
 
@@ -23,14 +35,12 @@ def _points(n):
 
 
 def test_interior_v2_matches_v1():
-    R, S, K = 2, 4, 16
+    R, S, K = 2, 4, 256
     SUB = MP.V2_SUB
     LN = K // SUB
     n = S * K
     _, pts = _points(n)
-    # per-lane non-decreasing digit streams (the sorted-stream contract)
     digs_np = np.sort(_rng.integers(0, 6, size=(R, K, S)), axis=2)
-    # lane k's stream occupies sorted positions [k*S, (k+1)*S)
     px = np.asarray(pts.x).reshape(L, K, S)
     py = np.asarray(pts.y).reshape(L, K, S)
 
@@ -38,15 +48,13 @@ def test_interior_v2_matches_v1():
         t = np.broadcast_to(coord[None], (R, L, K, S))
         return jnp.asarray(np.transpose(t, (0, 3, 1, 2)).copy())
 
-    px1, py1 = v1_in(px), v1_in(py)
     d1 = jnp.asarray(np.transpose(digs_np[:, None], (0, 3, 1, 2)).copy())
+    o1 = MP._interior(FQ_SPEC, v1_in(px), v1_in(py), d1, False)
 
-    o1 = MP._interior(FQ_SPEC, px1, py1, d1, True)
-
-    pxw = V.pack_words_host(np.asarray(pts.x))  # (NW, n)
+    pxw = V.pack_words_host(np.asarray(pts.x))
     pyw = V.pack_words_host(np.asarray(pts.y))
 
-    def v2_in(wds):  # (NW, n) with n = K*S lane-major -> (R,S,NW,SUB,LN)
+    def v2_in(wds):
         t = wds.reshape(V.NW, K, S)
         t = np.broadcast_to(t[None], (R, V.NW, K, S))
         t = np.transpose(t, (0, 3, 1, 2)).reshape(R, S, V.NW, SUB, LN)
@@ -56,7 +64,7 @@ def test_interior_v2_matches_v1():
         np.transpose(digs_np[:, None], (0, 3, 1, 2))
         .reshape(R, S, 1, SUB, LN).copy())
 
-    o2 = MP._interior_v2(FQ_SPEC, v2_in(pxw), v2_in(pyw), d2, True)
+    o2 = MP._interior_v2(FQ_SPEC, v2_in(pxw), v2_in(pyw), d2, False)
     o2 = [np.asarray(o).reshape(np.asarray(a).shape)
           for o, a in zip(o2, o1)]
     names = ["ex", "ey", "ez", "labs", "acx", "acy", "acz", "cur",
@@ -75,13 +83,12 @@ def _host_msm(scalars, pts_int):
     return acc
 
 
-@pytest.mark.slow
 def test_v2_full_driver_vs_host():
-    n, K, c = 64, 16, 8
+    n, K, c = 4096, 2048, 8
     pts_int, pts = _points(n)
     scalars = [int.from_bytes(_rng.bytes(32), "little") % FR_SPEC.p
                for _ in range(n)]
     sc = jnp.asarray(FR_SPEC.encode(scalars))
-    got = MP._msm_pallas_single_v2(E.BN254_CURVE, pts, sc, c, K, True)
+    got = MP._msm_pallas_single_v2(E.BN254_CURVE, pts, sc, c, K, False)
     got_aff = E.to_affine_ints(E.BN254_CURVE, got)
     assert got_aff[0] == _host_msm(scalars, pts_int)

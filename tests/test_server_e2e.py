@@ -106,3 +106,83 @@ def test_webauthn_to_verified_proof_e2e(http_server):
                           {"verifying_key_path": "./keys/verifying_key.vk",
                            "proof": proof_hex})
     assert (code, verdict) == (200, "verified")
+
+
+def test_bundler_lite_world(proof_and_verifier=None):
+    """The demo's on-chain leg (server/bundler.py): counterfactual sender
+    via getSenderAddress revert-parse, initCode deployment, paymaster
+    sponsorship, handleOps execution, receipt store — the index.tsx
+    296-429 flow against the in-repo EVM."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_plonk_e2e import K, build_toy, build_witness
+
+    from webauthn_halo2_tpu.plonk.keygen import keygen
+    from webauthn_halo2_tpu.plonk.prover import create_proof
+    from webauthn_halo2_tpu.plonk.srs import get_srs
+    from webauthn_halo2_tpu.plonk.transcript import KeccakWrite
+    from webauthn_halo2_tpu.evm.codegen import generate_verifier
+    from webauthn_halo2_tpu.evm.yul_asm import compile_yul
+    from webauthn_halo2_tpu.server.bundler import World
+
+    cs = build_toy()
+    fixed, advice, copies = build_witness(cs, 1 << K)
+    srs = get_srs(K)
+    pk = keygen(srs, cs, fixed, copies)
+    proof = create_proof(pk, advice, [], scheme="gwc",
+                         transcript=KeccakWrite())
+    yul, _ = generate_verifier(pk.vk, srs)
+    deploy, _ = compile_yul(yul)
+
+    w = World(verifier_deploy=deploy)
+    pub = bytes(range(64))
+    sender = w.sender_for(pub)
+    assert sender != 0
+    # deterministic counterfactual address
+    assert w.sender_for(pub) == sender
+
+    r1 = w.submit(pub, proof)
+    assert r1["success"], r1
+    assert r1["accountDeployed"] is True
+    assert (r1["counterBefore"], r1["counterAfter"]) == (0, 1)
+    assert w.receipt(r1["userOpHash"]) == r1
+
+    # second op: account exists, no initCode, nonce advanced
+    r2 = w.submit(pub, proof)
+    assert r2["success"], r2
+    assert r2["accountDeployed"] is False
+    assert (r2["counterBefore"], r2["counterAfter"]) == (1, 2)
+
+    # a garbage proof does not execute
+    r3 = w.submit(pub, b"\x00" * len(proof))
+    assert not r3["success"]
+    assert w.counter_value() == 2
+
+
+def test_bundler_routes_plumbing(http_server, monkeypatch):
+    """HTTP plumbing for /chain/* with a stubbed world."""
+    from webauthn_halo2_tpu.server import bundler
+
+    class FakeWorld:
+        def sender_for(self, pk):
+            return 0xABCD
+
+        def submit(self, pk, proof):
+            return {"userOpHash": "0x11", "success": True, "gasUsed": 5,
+                    "sender": "0xabcd", "accountDeployed": True,
+                    "counterBefore": 0, "counterAfter": 1, "revertData": ""}
+
+        def receipt(self, h):
+            return {"userOpHash": h} if h == "0x11" else None
+
+    monkeypatch.setattr(bundler, "_WORLD", FakeWorld())
+    code, body = _post(http_server, "/chain/sender", {"public_key": "00" * 64})
+    assert code == 200 and json.loads(body)["sender"].endswith("abcd")
+    code, body = _post(http_server, "/chain/submit_userop",
+                       {"public_key": "00" * 64, "proof": "aa"})
+    assert code == 200 and json.loads(body)["success"] is True
+    code, body = _post(http_server, "/chain/receipt", {"userOpHash": "0x11"})
+    assert code == 200
+    code, body = _post(http_server, "/chain/receipt", {"userOpHash": "0x22"})
+    assert code == 404

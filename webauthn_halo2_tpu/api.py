@@ -193,13 +193,15 @@ def generate_proofs_batch(
     proof is single-chip; DP needs no collectives — proofs are
     independent), so scaling efficiency is communication-free.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .plonk.transcript import KeccakWrite
 
     params = params or _load_params(proving_key_path)
     pk = _keys(params)
     circuit = ECDSACircuit(params)
-    out: list[bytes] = []
-    for req in requests:
+
+    def prep(req):
         inputs = ECDSAInputs(
             r=le_bytes_to_int(req["r"]),
             s=le_bytes_to_int(req["s"]),
@@ -207,11 +209,20 @@ def generate_proofs_batch(
             pk=(le_bytes_to_int(req["pubkey_x"]),
                 le_bytes_to_int(req["pubkey_y"])),
         )
-        advice = circuit.witness(inputs)
-        instances = circuit.public_inputs(inputs)
-        if scheme == "gwc":
-            out.append(create_proof(pk, advice, instances, scheme="gwc",
-                                    transcript=KeccakWrite()))
-        else:
-            out.append(create_proof(pk, advice, instances))
+        return circuit.witness(inputs), circuit.public_inputs(inputs)
+
+    out: list[bytes] = []
+    # pipelined: witness generation (host CPU, ~1-3 s each) runs in a
+    # worker thread while the previous proof occupies the device — the
+    # phase graphs release the GIL during device execution, so the batch
+    # hides witness latency entirely after the first request
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = [pool.submit(prep, r) for r in requests]
+        for fut in futs:
+            advice, instances = fut.result()
+            if scheme == "gwc":
+                out.append(create_proof(pk, advice, instances, scheme="gwc",
+                                        transcript=KeccakWrite()))
+            else:
+                out.append(create_proof(pk, advice, instances))
     return out

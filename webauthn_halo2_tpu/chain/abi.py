@@ -104,6 +104,17 @@ def encode_handle_ops(ops: list[UserOperation], beneficiary: int) -> bytes:
     return sel.to_bytes(4, "big") + _w(0x40) + _w(beneficiary) + arr
 
 
+def encode_simulate_validation(op: "UserOperation") -> bytes:
+    """calldata for EntryPoint.simulateValidation(UserOperation)
+    (core/EntryPoint.sol:503 — always reverts with ValidationResult or
+    FailedOp)."""
+    sel = selector(
+        "simulateValidation((address,uint256,bytes,bytes,uint256,uint256,"
+        "uint256,uint256,uint256,bytes,bytes))"
+    )
+    return sel.to_bytes(4, "big") + _w(0x20) + op.encode_struct()
+
+
 def encode_execute(dest: int, value: int, func: bytes) -> bytes:
     """calldata for P256Account.execute(address,uint256,bytes)."""
     return (selector("execute(address,uint256,bytes)").to_bytes(4, "big")

@@ -49,6 +49,9 @@ USER_OPERATION_EVENT_TOPIC = int.from_bytes(keccak256(
 # error selectors (4-byte, v0.6 EntryPoint errors)
 FAILED_OP_SELECTOR = selector("FailedOp(uint256,string)")
 SENDER_ADDRESS_RESULT_SELECTOR = selector("SenderAddressResult(address)")
+VALIDATION_RESULT_SELECTOR = selector(
+    "ValidationResult((uint256,uint256,bool,uint48,uint48,bytes),"
+    "(uint256,uint256),(uint256,uint256),(uint256,uint256))")
 
 
 def _fail(i_expr: str, msg: str) -> str:
@@ -79,6 +82,20 @@ function nonceSlot(a, key) -> s {{
     mstore(0x20, key)
     mstore(0x40, 1)
     s := keccak256(0x00, 0x60)
+}}
+// StakeManager storage (core/StakeManager.sol parity): per-address stake
+// amount (domain 2) + packed info (domain 3):
+//   bit 255 = staked, bits [48,80) = unstakeDelaySec,
+//   bits [0,48) = withdrawTime
+function stakeSlot(a) -> s {{
+    mstore(0x00, a)
+    mstore(0x20, 2)
+    s := keccak256(0x00, 0x40)
+}}
+function stakeInfoSlot(a) -> s {{
+    mstore(0x00, a)
+    mstore(0x20, 3)
+    s := keccak256(0x00, 0x40)
 }}
 function ceil32(x) -> y {{ y := and(add(x, 31), not(31)) }}
 function failOp(i, reason, rlen) {{
@@ -282,6 +299,99 @@ case 0x35567e1a {{ // getNonce(address,uint192)
 case 0xa6193531 {{ // getUserOpHash(UserOperation)
     mstore(0, userOpHash(add(4, calldataload(4))))
     return(0, 32)
+}}
+case 0x0396cb60 {{ // addStake(uint32) payable (StakeManager.sol parity)
+    let delay := calldataload(4)
+    if iszero(delay) {{ revert(0, 0) }}
+    let si := stakeInfoSlot(caller())
+    let prev := and(shr(48, sload(si)), 0xffffffff)
+    if lt(delay, prev) {{ revert(0, 0) }}  // cannot decrease unstake delay
+    let ss := stakeSlot(caller())
+    sstore(ss, add(sload(ss), callvalue()))
+    sstore(si, or(shl(255, 1), shl(48, delay)))
+    stop()
+}}
+case 0xbb9fe6bf {{ // unlockStake()
+    let si := stakeInfoSlot(caller())
+    let info := sload(si)
+    if iszero(shr(255, info)) {{ revert(0, 0) }}  // not staked
+    let delay := and(shr(48, info), 0xffffffff)
+    sstore(si, or(shl(48, delay), add(timestamp(), delay)))
+    stop()
+}}
+case 0xc23a5cea {{ // withdrawStake(address)
+    let si := stakeInfoSlot(caller())
+    let info := sload(si)
+    if shr(255, info) {{ revert(0, 0) }}  // must call unlockStake first
+    let wt := and(info, 0xffffffffffff)
+    if iszero(wt) {{ revert(0, 0) }}
+    if lt(timestamp(), wt) {{ revert(0, 0) }}  // unstake delay not passed
+    let ss := stakeSlot(caller())
+    let amt := sload(ss)
+    sstore(ss, 0)
+    sstore(si, 0)
+    if iszero(call(gas(), calldataload(4), amt, 0, 0, 0, 0)) {{
+        revert(0, 0)
+    }}
+    stop()
+}}
+case 0x5287ce12 {{ // getDepositInfo(address) -> DepositInfo
+    let a := calldataload(4)
+    // load everything BEFORE building the return blob: the slot helpers
+    // use 0x00-0x40 as keccak scratch and would clobber it
+    let dep := sload(depositSlot(a))
+    let stk := sload(stakeSlot(a))
+    let info := sload(stakeInfoSlot(a))
+    mstore(0x00, dep)
+    mstore(0x20, shr(255, info))
+    mstore(0x40, stk)
+    mstore(0x60, and(shr(48, info), 0xffffffff))
+    mstore(0x80, and(info, 0xffffffffffff))
+    return(0, 0xa0)
+}}
+case 0xee219423 {{ // simulateValidation(UserOperation) — ALWAYS reverts:
+    // ValidationResult(...) on success, FailedOp on validation failure
+    // (core/EntryPoint.sol:503). Bundlers call this with a state
+    // override / from=0 to vet ops off-chain.
+    let op := add(4, calldataload(4))
+    let g0 := gas()
+    let sender := calldataload(op)
+    if iszero(extcodesize(sender)) {{ createSender(0, op) }}
+    let hash := userOpHash(op)
+    let cgl := calldataload(add(op, 128))
+    let vgl := calldataload(add(op, 160))
+    let pvg := calldataload(add(op, 192))
+    let maxFee := calldataload(add(op, 224))
+    let prefund := mul(add(add(cgl, vgl), pvg), maxFee)
+    let vd, vok := callValidateUserOp(op, hash, prefund, vgl)
+    if iszero(vok) {{ {_fail("0", "AA23 reverted (or OOG)")} }}
+    let sigFailed := iszero(iszero(vd))
+    let pm := paymasterOf(op)
+    if pm {{
+        let pvd, pok := callValidatePaymaster(op, hash, prefund, pm, vgl)
+        if iszero(pok) {{ {_fail("0", "AA33 reverted (or OOG)")} }}
+        if pvd {{ sigFailed := 1 }}
+    }}
+    // abi: selector ++ head(offset, senderInfo, factoryInfo, pmInfo)
+    //      ++ ReturnInfo tail (7 words, empty paymasterContext)
+    mstore(0x100, shl(224, 0x{VALIDATION_RESULT_SELECTOR:08x}))
+    mstore(0x104, 0xe0)
+    mstore(0x124, sload(stakeSlot(sender)))
+    let sinfo := sload(stakeInfoSlot(sender))
+    mstore(0x144, and(shr(48, sinfo), 0xffffffff))
+    mstore(0x164, 0)
+    mstore(0x184, 0)
+    mstore(0x1a4, sload(stakeSlot(pm)))
+    let pinfo := sload(stakeInfoSlot(pm))
+    mstore(0x1c4, and(shr(48, pinfo), 0xffffffff))
+    mstore(0x1e4, add(sub(g0, gas()), pvg))
+    mstore(0x204, prefund)
+    mstore(0x224, sigFailed)
+    mstore(0x244, 0)
+    mstore(0x264, 0)
+    mstore(0x284, 0xc0)
+    mstore(0x2a4, 0)
+    revert(0x100, 0x1c4)
 }}
 case 0x9b249f69 {{ // getSenderAddress(bytes initCode) — always reverts with
     // SenderAddressResult(address) (the web demo's revert-parse trick,

@@ -447,6 +447,138 @@ def _interior_v2(spec: FieldSpec, pxw, pyw, digs, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
+# kernel 1b: boundary-fragment segmented scan (replaces the XLA
+# _prefix_scan_points on the 2K boundary array — 339 ms -> VMEM-resident)
+# ---------------------------------------------------------------------------
+
+def _scan_kernel(spec, m, bx_ref, by_ref, bz_ref, seg_ref,
+                 p_ref, one_ref, pad_ref, c256_ref,
+                 ox_ref, oy_ref, oz_ref):
+    """Segmented inclusive prefix sum over the lane axis (Hillis-Steele,
+    log2(m) passes of infinity-aware unsafe adds — ops/msm.
+    _prefix_scan_points parity: fragments are disjoint point subsets)."""
+    p_col = p_ref[:, :]
+    pad = pad_ref[:, :]
+    c256 = c256_ref[:, :]
+    X = (bx_ref[0], by_ref[0], bz_ref[0])
+    seg = seg_ref[0]                          # (1, m)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    d = 1
+    while d < m:
+        rx = pltpu.roll(X[0], d, 1)
+        ry = pltpu.roll(X[1], d, 1)
+        rz = pltpu.roll(X[2], d, 1)
+        rs = pltpu.roll(seg, d, 1)
+        cx, cy, cz = _jadd_unsafe_body(
+            spec, (rx, ry, rz), X, p_col, pad, c256)
+        ok = (lane >= d) & (rs == seg)
+        X = (jnp.where(ok, cx, X[0]), jnp.where(ok, cy, X[1]),
+             jnp.where(ok, cz, X[2]))
+        d *= 2
+    ox_ref[0] = X[0]
+    oy_ref[0] = X[1]
+    oz_ref[0] = X[2]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _scan_pallas(spec: FieldSpec, bx, by, bz, seg, interpret: bool):
+    """bx/by/bz: (R, L, m); seg: (R, 1, m) -> merged (R, L, m)."""
+    R_, _, m = bx.shape
+    consts = [
+        jnp.asarray(np.asarray(v).reshape(L, 1), jnp.int32)
+        for v in (spec.p_limbs, spec.one_mont, spec.sub_pad, spec.c256_limbs)
+    ]
+    blk = pl.BlockSpec((1, L, m), lambda r: (r, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk_seg = pl.BlockSpec((1, 1, m), lambda r: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((L, 1), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    sds = jax.ShapeDtypeStruct
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, spec, m),
+        out_shape=tuple(sds((R_, L, m), jnp.int32) for _ in range(3)),
+        grid=(R_,),
+        in_specs=[blk, blk, blk, blk_seg] + [blk_c] * 4,
+        out_specs=(blk, blk, blk),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(bx, by, bz, seg, *consts)
+
+
+# ---------------------------------------------------------------------------
+# host finish: window Horner on host ints (the device fori_loop version
+# cost ~230 ms of tiny latency-bound ops; on host it is ~1 ms and the
+# result is needed as host ints for the transcript anyway)
+# ---------------------------------------------------------------------------
+
+def _hj_dbl(p: int, pt):
+    """Host Jacobian doubling, a=0 curve; None = infinity."""
+    if pt is None:
+        return None
+    x, y, z = pt
+    if y == 0:
+        return None
+    a = x * x % p
+    b = y * y % p
+    c = b * b % p
+    d = 2 * ((x + b) * (x + b) - a - c) % p
+    e = 3 * a % p
+    f = e * e % p
+    x3 = (f - 2 * d) % p
+    y3 = (e * (d - x3) - 8 * c) % p
+    z3 = 2 * y * z % p
+    return (x3, y3, z3)
+
+
+def _hj_add(p: int, p1, p2):
+    """Host Jacobian add (complete: handles inf, P==Q, P==-Q)."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1, z1 = p1
+    x2, y2, z2 = p2
+    z1z1 = z1 * z1 % p
+    z2z2 = z2 * z2 % p
+    u1 = x1 * z2z2 % p
+    u2 = x2 * z1z1 % p
+    s1 = y1 * z2 * z2z2 % p
+    s2 = y2 * z1 * z1z1 % p
+    if u1 == u2:
+        if s1 != s2:
+            return None
+        return _hj_dbl(p, p1)
+    h = (u2 - u1) % p
+    r = (s2 - s1) % p
+    hh = h * h % p
+    hhh = h * hh % p
+    v = u1 * hh % p
+    x3 = (r * r - hhh - 2 * v) % p
+    y3 = (r * (v - x3) - s1 * hhh) % p
+    z3 = z1 * z2 * h % p
+    return (x3, y3, z3)
+
+
+def _host_horner(p: int, windows, c: int):
+    """windows[w] = host Jacobian int tuple (or None); returns
+    sum_w windows[w] * 2^(c*w) as affine ints (or None)."""
+    acc = windows[-1]
+    for w in range(len(windows) - 2, -1, -1):
+        for _ in range(c):
+            acc = _hj_dbl(p, acc)
+        acc = _hj_add(p, acc, windows[w])
+    if acc is None:
+        return None
+    x, y, z = acc
+    if z == 0:
+        return None
+    zi = pow(z, -1, p)
+    return (x * zi * zi % p, y * zi ** 3 % p)
+
+
+# ---------------------------------------------------------------------------
 # kernel 2: bucket combine  sum_b b*B_b  (single launch, VMEM-resident)
 # ---------------------------------------------------------------------------
 
@@ -909,6 +1041,155 @@ def _msm_pallas_single_v2(curve: CurveSpec, points: JPoint,
     return jax.lax.fori_loop(0, W - 1, horner, top)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_windows_v3(curve: CurveSpec, points: JPoint,
+                    scalars_mont: jnp.ndarray, c: int,
+                    k_lanes: int, interpret: bool):
+    """v3 device pipeline: v2 front (packed sort key + packed word
+    gather + list-form interior) + Pallas boundary scan; returns the W
+    per-window sums as (W, L) coord tensors — the Horner tail and affine
+    conversion run on host (_host_horner)."""
+    from . import limbvec as V
+
+    f_r = _fr_spec()
+    f_q = curve.field
+    n = scalars_mont.shape[1]
+    K = k_lanes
+    S = n // K
+    nb = 1 << c
+    G = min(COMBINE_G, nb)
+    m = nb // G
+    SUB = V2_SUB
+    LN = K // SUB
+
+    std = M.normalize(f_r, M.from_mont(f_r, scalars_mont))
+    from .msm import scalar_digits
+
+    digits = scalar_digits(std, c)
+    W = digits.shape[0]
+    R_ = W
+    logn = n.bit_length() - 1
+
+    if c + logn <= 31:
+        key = (digits << logn) | jnp.arange(n, dtype=jnp.int32)[None]
+        skey = jax.lax.sort(key, dimension=1)
+        sdig = skey >> logn
+        order = skey & (n - 1)
+    else:
+        idx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], digits.shape)
+        sdig, order = jax.lax.sort((digits, idx), dimension=1, num_keys=1)
+
+    pxw_full = jnp.stack(V.pack_words([points.x[i] for i in range(L)]))
+    pyw_full = jnp.stack(V.pack_words([points.y[i] for i in range(L)]))
+
+    def gatw(wds):
+        g = wds[:, order]
+        g = jnp.moveaxis(g, 1, 0)
+        g = jnp.transpose(g.reshape(R_, V.NW, K, S), (0, 3, 1, 2))
+        return g.reshape(R_, S, V.NW, SUB, LN)
+
+    pxw = gatw(pxw_full)
+    pyw = gatw(pyw_full)
+    digs = jnp.transpose(sdig.reshape(R_, 1, K, S), (0, 3, 1, 2))
+    digs = digs.reshape(R_, S, 1, SUB, LN)
+
+    outs = _interior_v2(f_q, pxw, pyw, digs, interpret)
+    (ex, ey, ez, labs, acx, acy, acz, cur, fx, fy, fz, fdig, hasf) = (
+        o.reshape(o.shape[:-2] + (o.shape[-2] * o.shape[-1],))
+        for o in outs
+    )
+    labs = labs[:, :, None] if labs.ndim == 2 else labs
+    cur = cur[:, None] if cur.ndim == 2 else cur
+    fdig = fdig[:, None] if fdig.ndim == 2 else fdig
+    hasf = hasf[:, None] if hasf.ndim == 2 else hasf
+
+    def lm(e):
+        return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, L, n)
+
+    ex, ey, ez = lm(ex), lm(ey), lm(ez)
+    labs = jnp.transpose(labs, (0, 2, 3, 1)).reshape(R_, n)
+
+    targets = jnp.arange(nb, dtype=jnp.int32)
+    pos = jax.vmap(
+        lambda lr: jnp.searchsorted(lr, targets, side="right").astype(jnp.int32)
+    )(labs) - 1
+    pos = jnp.maximum(pos, 0)
+    hit = jnp.take_along_axis(labs, pos, axis=1) == targets[None]
+
+    def fill(e):
+        return jnp.take_along_axis(
+            e, jnp.broadcast_to(pos[:, None, :], (R_, L, nb)), axis=2
+        )
+
+    one_col = jnp.asarray(
+        np.asarray(f_q.one_mont).reshape(1, L, 1), jnp.int32
+    )
+    bx = jnp.where(hit[:, None, :], fill(ex), one_col)
+    by = jnp.where(hit[:, None, :], fill(ey), one_col)
+    bz = jnp.where(hit[:, None, :], fill(ez), 0)
+
+    # boundary fragments -> Pallas segmented scan (not XLA log passes)
+    hasf_b = hasf[:, 0, :] > 0
+    a_dig = jnp.where(hasf_b, fdig[:, 0, :], cur[:, 0, :])
+    inf_xy = jnp.broadcast_to(one_col, (R_, L, K))
+    a_x = jnp.where(hasf_b[:, None, :], fx, inf_xy)
+    a_y = jnp.where(hasf_b[:, None, :], fy, inf_xy)
+    a_z = jnp.where(hasf_b[:, None, :], fz, 0)
+    seg = jnp.stack([a_dig, cur[:, 0, :]], axis=2).reshape(R_, 1, 2 * K)
+    bnd_x = jnp.stack([a_x, acx], axis=3).reshape(R_, L, 2 * K)
+    bnd_y = jnp.stack([a_y, acy], axis=3).reshape(R_, L, 2 * K)
+    bnd_z = jnp.stack([a_z, acz], axis=3).reshape(R_, L, 2 * K)
+    mx, my, mz = _scan_pallas(f_q, bnd_x, bnd_y, bnd_z, seg, interpret)
+    seg2 = seg[:, 0, :]
+    is_tail = jnp.concatenate(
+        [seg2[:, :-1] != seg2[:, 1:], jnp.ones((R_, 1), bool)], axis=1
+    )
+    target = jnp.where(is_tail, seg2, nb)
+
+    def scat(b, vals):
+        return jax.vmap(
+            lambda bb, tt, vv: bb.at[:, tt].set(vv, mode="drop")
+        )(b, target, vals)
+
+    bx = scat(bx, mx)
+    by = scat(by, my)
+    bz = scat(bz, mz)
+
+    def to_mg(b):
+        return jnp.transpose(b.reshape(R_, L, G, m), (0, 3, 1, 2))
+
+    wx, wy, wz = _combine(f_q, to_mg(bx), to_mg(by), to_mg(bz), interpret)
+    # (R, L, G) -> lane 0 holds the window sum -> (W, L)
+    return wx[..., 0], wy[..., 0], wz[..., 0]
+
+
+def msm_hostout(curve: CurveSpec, points: JPoint, scalars_mont: jnp.ndarray,
+                c: int = 13, k_lanes: int = DEFAULT_K_LANES,
+                interpret: bool = False) -> list:
+    """B MSMs -> host affine int tuples (None = infinity).
+
+    The device graph ends at the W window sums (tiny pull); Horner and
+    the affine conversion run on host ints — this is both faster (the
+    device fori_loop tail was ~230 ms of latency-bound (L,1) ops) and
+    lands where the prover needs commitments anyway (the transcript)."""
+    f_q = curve.field
+    Bm = scalars_mont.shape[0]
+    rows = _unstack_aot(Bm)(scalars_mont) if Bm > 1 else \
+        _unstack_aot(1)(scalars_mont)
+    out = []
+    for i in range(Bm):
+        wx, wy, wz = _windows_v3_aot(curve, points, rows[i], c, k_lanes,
+                                     interpret)
+        xs = f_q.decode(np.asarray(wx).T)
+        ys = f_q.decode(np.asarray(wy).T)
+        zs = f_q.decode(np.asarray(wz).T)
+        wins = [None if z == 0 else (x, y, z)
+                for x, y, z in zip(xs, ys, zs)]
+        out.append(_host_horner(f_q.p, wins, c))
+    return out
+
+
 @functools.lru_cache(maxsize=1)
 def _fr_spec():
     from ..fields.limbs import FR_SPEC
@@ -920,6 +1201,8 @@ from ..utils.aot_cache import aot_wrap  # noqa: E402
 
 # ~8 min remote compile per process without the AOT disk cache
 _msm_single_aot = aot_wrap("msm_single", _msm_pallas_single,
+                           static_argnums=(0, 3, 4, 5))
+_windows_v3_aot = aot_wrap("msm3a_windows", _msm_windows_v3,
                            static_argnums=(0, 3, 4, 5))
 
 

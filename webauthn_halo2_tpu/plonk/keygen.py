@@ -76,11 +76,28 @@ def _batch_input(cols):
     return cols, cols.shape[0]
 
 
+def _hostout_enabled(n: int) -> bool:
+    """v3 MSM path: device graph ends at the window sums, Horner + affine
+    conversion on host (saves the ~230 ms latency-bound device tail and
+    the XLA boundary scan; ops/msm_pallas.msm_hostout)."""
+    import os
+
+    from ..ops.msm import _use_fused
+
+    if os.environ.get("WH2_MSM_V3", "0") == "0":  # default off until the
+        return False                               # TPU validation passes
+    return _use_fused(n)
+
+
 def commit_lagrange_batch(srs: SRS, cols) -> list:
     """Commit many Lagrange columns (list of rows OR (B, L, n) stack)."""
     stack, B = _batch_input(cols)
     if not B:
         return []
+    if _hostout_enabled(stack.shape[2]):
+        from ..ops.msm_pallas import msm_hostout
+
+        return msm_hostout(E.BN254_CURVE, srs.g_lag, stack)[:B]
     res = msm_batch(E.BN254_CURVE, srs.g_lag, stack)
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
@@ -89,11 +106,19 @@ def commit_coeff_batch(srs: SRS, cols) -> list:
     stack, B = _batch_input(cols)
     if not B:
         return []
+    if _hostout_enabled(stack.shape[2]):
+        from ..ops.msm_pallas import msm_hostout
+
+        return msm_hostout(E.BN254_CURVE, srs.g_mono, stack)[:B]
     res = msm_batch(E.BN254_CURVE, srs.g_mono, stack)
     return E.to_affine_ints(E.BN254_CURVE, res)[:B]
 
 
 def commit_coeff(srs: SRS, coeffs_mont: jnp.ndarray):
+    if _hostout_enabled(coeffs_mont.shape[1]):
+        from ..ops.msm_pallas import msm_hostout
+
+        return msm_hostout(E.BN254_CURVE, srs.g_mono, coeffs_mont[None])[0]
     res = msm(E.BN254_CURVE, srs.g_mono, coeffs_mont)
     return E.to_affine_ints(E.BN254_CURVE, res)[0]
 

@@ -90,6 +90,31 @@ class Handler(BaseHTTPRequestHandler):
                 if gas is not None:
                     msg += f" (dry-run gas: {gas})"
                 self._send(200, msg)
+            # --- bundler-lite: the demo's on-chain leg (index.tsx:296-429
+            # against the in-repo EVM instead of Pimlico/Base Goerli) ---
+            elif route == "/chain/sender":
+                from . import bundler
+
+                w = bundler.world()
+                sender = w.sender_for(bytes.fromhex(body["public_key"]))
+                self._send(200, json.dumps({"sender": f"0x{sender:040x}"}),
+                           ctype="application/json")
+            elif route == "/chain/submit_userop":
+                from . import bundler
+
+                w = bundler.world()
+                receipt = w.submit(bytes.fromhex(body["public_key"]),
+                                   bytes.fromhex(body["proof"]))
+                self._send(200, json.dumps(receipt),
+                           ctype="application/json")
+            elif route == "/chain/receipt":
+                from . import bundler
+
+                w = bundler.world()
+                r = w.receipt(body["userOpHash"])
+                self._send(200 if r else 404,
+                           json.dumps(r or {"error": "unknown userOpHash"}),
+                           ctype="application/json")
             else:
                 self._send(404, "unknown route")
         except Exception as e:  # noqa: BLE001 - match reference's 500 behavior
