@@ -502,6 +502,10 @@ def _scan_pallas(spec: FieldSpec, bx, by, bz, seg, interpret: bool):
         out_specs=(blk, blk, blk),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the 12 unsafe-add passes hold ~23 MB of (33, 4096) live
+            # intermediates — above the 16 MB default scoped-vmem cap,
+            # well inside v5e's 128 MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(bx, by, bz, seg, *consts)

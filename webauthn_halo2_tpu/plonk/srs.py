@@ -245,10 +245,56 @@ def save_srs(srs: SRS, path: str) -> None:
     )
 
 
+def _normalize_host_limbs(a: np.ndarray, p: int) -> np.ndarray:
+    """Exact host normalization of lazy (L, n) limb arrays to canonical
+    tight limbs (< p, every limb <= 255).
+
+    to_affine_batch leaves coordinates LAZY (montmul output: value < 2p,
+    limbs can exceed 255). The v2+ MSM kernels consume coordinates as
+    packed 32-byte words (ops/limbvec.pack_words), which silently corrupt
+    non-tight limbs — so SRS points are canonicalized once here."""
+    from ..fields.limbs import B, L, MASK, int_to_limbs
+
+    a = a.astype(np.int64)
+    out = np.empty_like(a)
+    carry = np.zeros(a.shape[1:], dtype=np.int64)
+    for i in range(L):
+        v = a[i] + carry
+        out[i] = v & MASK
+        carry = v >> B
+    assert not carry.any(), "limb overflow beyond 2^264"
+    # conditional subtract p where value >= p (lexicographic compare)
+    p_l = int_to_limbs(p).astype(np.int64)
+    ge = np.ones(a.shape[1:], dtype=bool)
+    decided = np.zeros(a.shape[1:], dtype=bool)
+    for i in range(L - 1, -1, -1):
+        gt = ~decided & (out[i] > p_l[i])
+        lt = ~decided & (out[i] < p_l[i])
+        ge = np.where(lt, False, ge)
+        decided |= gt | lt
+    borrow = np.zeros(a.shape[1:], dtype=np.int64)
+    for i in range(L):
+        v = out[i] - np.where(ge, p_l[i], 0) - borrow
+        borrow = (v < 0).astype(np.int64)
+        out[i] = np.where(ge, v + (borrow << B), out[i])
+    return out.astype(np.int32)
+
+
+def _normalize_points_np(coords: np.ndarray) -> np.ndarray:
+    """(3, L, n) stacked Jacobian coords -> canonical limbs (z rows with
+    exact-zero infinity flags are preserved: normalize(0) == 0)."""
+    from ..fields.constants import BN254_FQ
+
+    return np.stack([
+        _normalize_host_limbs(np.asarray(coords[i]), BN254_FQ)
+        for i in range(3)
+    ])
+
+
 def load_srs(path: str) -> SRS:
     z = np.load(path, allow_pickle=True)
-    gm = z["g_mono"]
-    gl = z["g_lag"]
+    gm = _normalize_points_np(z["g_mono"])
+    gl = _normalize_points_np(z["g_lag"])
     g2 = z["g2"]
     sg2 = z["s_g2"]
     return SRS(
@@ -279,5 +325,6 @@ def get_srs(k: int, seed: bytes = b"dev", cache_dir: str | None = None) -> SRS:
     else:
         srs = generate_srs(k, seed)
         save_srs(srs, path)
+        srs = load_srs(path)  # round-trip: canonical tight limbs
     _SRS_MEM_CACHE[key] = srs
     return srs
