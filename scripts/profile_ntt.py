@@ -61,23 +61,36 @@ def main():
         pull(a)
 
         perm = jnp.asarray(N._bitrev_perm(k))
-        bitrev = aot_wrap(f"prof_bitrev{k}",
+        bitrev = aot_wrap(f"prof4_bitrev{k}",
                           jax.jit(lambda x, p: x[:, p]))
         timed(f"k={k} bitrev gather", bitrev, a, perm)
 
-        ntt_w = aot_wrap(f"prof_ntt{k}", jax.jit(
-            lambda x: N.ntt(FR_SPEC, x, k)))
-        timed(f"k={k} ntt", ntt_w, a)
+        from webauthn_halo2_tpu.ops import ntt_pallas as NP
 
-        intt_w = aot_wrap(f"prof_intt{k}", jax.jit(
+        xla_ntt = aot_wrap(f"prof4_ntt{k}", jax.jit(
+            lambda x: N._ntt_core(FR_SPEC, x, k, False, FR_SPEC.p,
+                                  N._base_root(FR_SPEC))))
+        ref = timed(f"k={k} ntt (xla)", xla_ntt, a)
+        fused = aot_wrap(f"prof4_nttf{k}", jax.jit(
+            lambda x: NP.ntt_fused(FR_SPEC, x, k, False)))
+        got = timed(f"k={k} ntt (fused)", fused, a)
+        same = (FR_SPEC.decode(np.asarray(got))
+                == FR_SPEC.decode(np.asarray(ref)))
+        print(f"[ntt] k={k} fused == xla: {same}", flush=True)
+        assert same
+        fusedi = aot_wrap(f"prof4_inttf{k}", jax.jit(
+            lambda x: NP.ntt_fused(FR_SPEC, x, k, True)))
+        goti = timed(f"k={k} intt (fused)", fusedi, a)
+
+        intt_w = aot_wrap(f"prof4_intt{k}", jax.jit(
             lambda x: N.intt(FR_SPEC, x, k)))
         timed(f"k={k} intt", intt_w, a)
 
-        cs_w = aot_wrap(f"prof_coset{k}", jax.jit(
+        cs_w = aot_wrap(f"prof4_coset{k}", jax.jit(
             lambda x: N.coset_shift(FR_SPEC, x, COSET_GEN)))
         timed(f"k={k} coset_shift", cs_w, a)
 
-        mm_w = aot_wrap(f"prof_mm{k}", jax.jit(
+        mm_w = aot_wrap(f"prof4_mm{k}", jax.jit(
             lambda x: M.montmul(FR_SPEC, x, x)))
         timed(f"k={k} montmul (full)", mm_w, a)
 
@@ -93,7 +106,7 @@ def main():
                 [M.add(FR_SPEC, lo, whi)[:, None],
                  M.sub(FR_SPEC, lo, whi)[:, None]], axis=1).reshape(L, n)
 
-        st_w = aot_wrap(f"prof_stage{k}", one_stage)
+        st_w = aot_wrap(f"prof4_stage{k}", one_stage)
         timed(f"k={k} one stage glue", st_w, a)
 
 

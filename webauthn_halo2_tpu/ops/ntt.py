@@ -92,15 +92,37 @@ def _ntt_core(spec: FieldSpec, a: jnp.ndarray, k: int, inverse: bool,
     return x
 
 
+def _use_fused_ntt(k: int) -> bool:
+    """Route to the fused-Pallas NTT (ops/ntt_pallas.py) on TPU: the XLA
+    stage loop materializes every butterfly stage to HBM; the fused
+    kernels keep log2(8192) stages VMEM-resident per pass."""
+    import os
+
+    mode = os.environ.get("WH2_NTT_IMPL", "auto")
+    if mode == "xla":
+        return False
+    if k < 14:
+        return False
+    return mode == "pallas" or jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def ntt(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations on H (natural order)."""
+    if _use_fused_ntt(k):
+        from .ntt_pallas import ntt_fused
+
+        return ntt_fused(spec, a, k, False)
     return _ntt_core(spec, a, k, False, spec.p, _base_root(spec))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def intt(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Inverse NTT: evaluations -> coefficients."""
+    if _use_fused_ntt(k):
+        from .ntt_pallas import ntt_fused
+
+        return ntt_fused(spec, a, k, True)
     return _ntt_core(spec, a, k, True, spec.p, _base_root(spec))
 
 

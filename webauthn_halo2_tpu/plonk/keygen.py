@@ -84,8 +84,8 @@ def _hostout_enabled(n: int) -> bool:
 
     from ..ops.msm import _use_fused
 
-    if os.environ.get("WH2_MSM_V3", "0") == "0":  # default off until the
-        return False                               # TPU validation passes
+    if os.environ.get("WH2_MSM_V3", "1") == "0":
+        return False
     return _use_fused(n)
 
 
