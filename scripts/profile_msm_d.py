@@ -167,6 +167,47 @@ def main():
     m4 = timed("D2 scan", d2w, acx, acy, acz, cur, fx, fy, fz, fdig, hasf)
     timed("D3 scatter", d3w, *b3, *m4)
 
+    # --- D1 split: transposes vs searchsorted vs fill gathers -----------
+    R_ = ex.shape[0]
+
+    @jax.jit
+    def d1a(ex, ey, ez, labs4):
+        def lm(e):
+            return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, L, N)
+
+        return lm(ex), lm(ey), lm(ez), jnp.transpose(
+            labs4, (0, 2, 3, 1)).reshape(R_, N)
+
+    @jax.jit
+    def d1b(labs):
+        targets = jnp.arange(NB, dtype=jnp.int32)
+        pos = jax.vmap(
+            lambda lr: jnp.searchsorted(lr, targets, side="right").astype(
+                jnp.int32))(labs) - 1
+        pos = jnp.maximum(pos, 0)
+        hit = jnp.take_along_axis(labs, pos, axis=1) == targets[None]
+        return pos, hit
+
+    @jax.jit
+    def d1c(exl, eyl, ezl, pos, hit):
+        def fill(e):
+            return jnp.take_along_axis(
+                e, jnp.broadcast_to(pos[:, None, :], (R_, L, NB)), axis=2)
+
+        one_col = jnp.asarray(np.asarray(f_q.one_mont).reshape(1, L, 1),
+                              jnp.int32)
+        bx = jnp.where(hit[:, None, :], fill(exl), one_col)
+        by = jnp.where(hit[:, None, :], fill(eyl), one_col)
+        bz = jnp.where(hit[:, None, :], fill(ezl), 0)
+        return bx, by, bz
+
+    a_w = aot_wrap("prof_d1a", d1a)
+    b_w = aot_wrap("prof_d1b", d1b)
+    c_w = aot_wrap("prof_d1c", d1c)
+    exl, eyl, ezl, labsf = timed("D1a transpose", a_w, ex, ey, ez, labs)
+    pos, hit = timed("D1b search", b_w, labsf)
+    timed("D1c fillgather", c_w, exl, eyl, ezl, pos, hit)
+
 
 if __name__ == "__main__":
     main()

@@ -39,26 +39,35 @@ from .pallas_kernels import _montmul_body
 T_LANES = 8192  # lanes per kernel-A block (stages h < T are block-local)
 
 
+@functools.lru_cache(maxsize=None)
+def _tiled_patterns(k: int, inverse: bool, spec: FieldSpec, T: int):
+    """(n_stages, L, T) per-stage twiddle patterns, pattern[s][i] =
+    tw_s[i mod 2^s] (host-precomputed; see _kernel_a docstring)."""
+    n_stages = T.bit_length() - 1
+    tws = _stage_twiddles(k, inverse, spec.p, _base_root(spec))
+    return np.stack([
+        np.tile(tws[s], (1, T >> s)) for s in range(n_stages)
+    ])
+
+
 def _add_body(a, b, c256):
     return _lazy_reduce_body(a + b, c256)
 
 
 def _kernel_a(spec, T, n_stages, x_ref, tw_ref, p_ref, pad_ref, c256_ref,
               o_ref):
-    """All block-local DIT stages. tw_ref: compact concatenated twiddles
-    [(L,1) stage1 | (L,2) stage2 | ... (L, T/2)] laid out (L, T-1)."""
+    """All block-local DIT stages. tw_ref: (n_stages, L, T) PRE-TILED
+    twiddle patterns — pattern[s][i] = tw_s[i mod 2^s]; building the
+    pattern in-kernel needs a (L, T//h, h)->(L, T) reshape Mosaic cannot
+    lower (infer-vector-layout: unsupported shape cast)."""
     p_col = p_ref[:, :]
     pad = pad_ref[:, :]
     c256 = c256_ref[:, :]
     x = x_ref[0]                      # (L, T)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    off = 0
     for s in range(n_stages):
         h = 1 << s
-        tw = tw_ref[:, off:off + h]   # (L, h)
-        off += h
-        # pattern[i] = tw[i mod h]: broadcast (L,1,h) -> (L,T//h,h) -> (L,T)
-        pat = jnp.broadcast_to(tw[:, None, :], (L, T // h, h)).reshape(L, T)
+        pat = tw_ref[s]               # (L, T)
         t = _montmul_body(spec, pat, x, p_col)
         lo_partner = pltpu.roll(t, T - h, 1)   # element i gets t[i+h]
         hi_partner = pltpu.roll(x, h, 1)       # element i gets x[i-h]
@@ -75,11 +84,7 @@ def _stage_a(spec: FieldSpec, x, k: int, inverse: bool, t_lanes: int = 0):
     B, _, n = x.shape
     T = min(t_lanes or T_LANES, n)
     n_stages = T.bit_length() - 1
-    tws = _stage_twiddles(k, inverse, spec.p, _base_root(spec))
-    tw_cat = np.concatenate(tws[:n_stages], axis=1)  # (L, T-1)
-    pad_cols = T - tw_cat.shape[1]
-    tw_cat = np.concatenate(
-        [tw_cat, np.zeros((L, pad_cols), np.int32)], axis=1)
+    tw_cat = _tiled_patterns(k, inverse, spec, T)
     consts = [
         jnp.asarray(np.asarray(v).reshape(L, 1), jnp.int32)
         for v in (spec.p_limbs, spec.sub_pad, spec.c256_limbs)
@@ -89,7 +94,7 @@ def _stage_a(spec: FieldSpec, x, k: int, inverse: bool, t_lanes: int = 0):
     # (B, L, n) would interleave the limb axis with the block axis
     blk = pl.BlockSpec((1, L, T), lambda g, i: (g, 0, i),
                        memory_space=pltpu.VMEM)
-    blk_tw = pl.BlockSpec((L, T), lambda g, i: (0, 0),
+    blk_tw = pl.BlockSpec((n_stages, L, T), lambda g, i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     blk_c = pl.BlockSpec((L, 1), lambda g, i: (0, 0),
                          memory_space=pltpu.VMEM)

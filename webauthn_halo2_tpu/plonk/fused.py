@@ -52,7 +52,7 @@ def _one_b(shape) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _to_mont_stack():
     # vmap over the batch axis: modops address limbs on axis 0
-    return aot_wrap("to_mont_stack", jax.jit(
+    return aot_wrap(f"to_mont_stack_{_GRAPH_REV}", jax.jit(
         jax.vmap(lambda x: M.to_mont(SPEC, x))))
 
 
@@ -67,7 +67,7 @@ def _to_mont_split_fn(na: int):
         m = jax.vmap(lambda c: M.to_mont(SPEC, c))(x)
         return m[:na], m[na:]
 
-    return aot_wrap(f"tmsplit{na}", jax.jit(fn))
+    return aot_wrap(f"tmsplit{na}_{_GRAPH_REV}", jax.jit(fn))
 
 
 def to_mont_split(x: jnp.ndarray, na: int):
@@ -78,14 +78,14 @@ def to_mont_split(x: jnp.ndarray, na: int):
 
 @functools.lru_cache(maxsize=None)
 def _l2c_fn(k: int):
-    return aot_wrap(f"l2c_k{k}", jax.jit(
+    return aot_wrap(f"l2c_k{k}_{_GRAPH_REV}", jax.jit(
         lambda s: jax.vmap(lambda a: N.intt(SPEC, a, k))(s)))
 
 
 @functools.lru_cache(maxsize=None)
 def _c2e_fn(k: int, ext_k: int):
     domain = Domain(k, ext_k)
-    return aot_wrap(f"c2e_k{k}_{ext_k}", jax.jit(
+    return aot_wrap(f"c2e_k{k}_{ext_k}_{_GRAPH_REV}", jax.jit(
         lambda s: jax.vmap(domain.coeff_to_extended)(s)))
 
 
@@ -115,7 +115,7 @@ def batched_c2e(k: int, ext_k: int, stack: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _powers_fn(n: int):
-    return aot_wrap(f"powers_{n}", jax.jit(
+    return aot_wrap(f"powers_{n}_{_GRAPH_REV}", jax.jit(
         lambda w, g: M.montmul(SPEC, g, P.power_table(SPEC, w, n))))
 
 
@@ -157,6 +157,12 @@ def _scan_z(num, den, carry, n: int, usable: int):
 # ---------------------------------------------------------------------------
 
 _GLOBAL_FNS: dict = {}  # circuit tag -> {graph key -> wrapped callable}
+
+# Cache-name revision for ALL phase graphs: the AOT disk cache keys on
+# name+shapes, NOT code — bump this whenever in-graph kernel code changes
+# (e.g. the NTT dispatch now routing to ops/ntt_pallas) so stale
+# executables cannot load.
+_GRAPH_REV = "r4a"
 
 
 def _stable_key(obj) -> str:
@@ -226,7 +232,7 @@ class FusedPhases:
 
     def _get(self, key: str, builder):
         if key not in self._fns:
-            self._fns[key] = aot_wrap(f"{key}_{self.tag}",
+            self._fns[key] = aot_wrap(f"{key}_{_GRAPH_REV}_{self.tag}",
                                       jax.jit(builder()))
         return self._fns[key]
 
