@@ -144,9 +144,11 @@ def main():
         ))
 
         def one_msm():
-            r = msm(E.BN254_CURVE, srs.g_lag, sc)
-            # anchored: the timing fence is the host copy of the result
-            return (_np.asarray(r.x), _np.asarray(r.y), _np.asarray(r.z))
+            # the production commit path (v3 hostout: device windows +
+            # host Horner); the returned affine ints ARE the host pull
+            from webauthn_halo2_tpu.ops.msm_pallas import msm_hostout
+
+            return msm_hostout(E.BN254_CURVE, srs.g_lag, sc[None])
 
         one_msm()  # warm
         t0 = time.time()
