@@ -36,8 +36,7 @@ N = 1 << K_DEG
 C_BITS = 13
 KL = int(os.environ.get("WH2_MSM_KLANES", str(MP.DEFAULT_K_LANES)))
 
-_v2 = aot_wrap("msm2a_single", MP._msm_pallas_single_v2,
-               static_argnums=(0, 3, 4, 5))
+
 
 
 def pull(x):
@@ -65,24 +64,16 @@ def main():
     a1 = norm_x(curve, r1)
     print(f"v1 warm+pull: {time.time()-t0:.1f}s", flush=True)
 
-    t0 = time.time()
-    r2 = _v2(curve, pts, sc, C_BITS, KL, False)
-    a2 = norm_x(curve, r2)
-    print(f"v2 warm(compile?)+pull: {time.time()-t0:.1f}s", flush=True)
-    assert a1 == a2, f"v2 MISMATCH: {a1} vs {a2}"
-    print("v1 == v2 (affine):", a1 == a2, flush=True)
-
-    for name, fn, kl in (("v1", MP._msm_single_aot, MP.DEFAULT_K_LANES),
-                         ("v2", _v2, KL)):
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            r = fn(curve, pts, sc, C_BITS, kl, False)
-            pull(r.x); pull(r.y); pull(r.z)
-            ts.append(time.time() - t0)
-        ts.sort()
-        print(f"[msm {name}] med={ts[1]*1e3:8.1f} ms  min={ts[0]*1e3:8.1f} ms"
-              f" -> {N/ts[1]/1e6:.2f} Mpoints/s", flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        r = MP._msm_single_aot(curve, pts, sc, C_BITS, MP.DEFAULT_K_LANES,
+                               False)
+        pull(r.x); pull(r.y); pull(r.z)
+        ts.append(time.time() - t0)
+    ts.sort()
+    print(f"[msm v1] med={ts[1]*1e3:8.1f} ms  min={ts[0]*1e3:8.1f} ms"
+          f" -> {N/ts[1]/1e6:.2f} Mpoints/s", flush=True)
 
     # v3: windows on device + host horner (scan kernel inside)
     t0 = time.time()

@@ -64,7 +64,12 @@ def worker(args) -> None:
         pk = keygen(srs, cs, fixed, copies)
         my = [i for i in range(args.batch)
               if i % args.num_hosts == args.host_id]
-        proofs = {i: create_proof(pk, advice, []) for i in my}
+        proofs = {}
+        per_proof = []
+        for i in my:
+            t1 = time.time()
+            proofs[i] = create_proof(pk, advice, [])
+            per_proof.append(round(time.time() - t1, 3))
     else:
         from webauthn_halo2_tpu import api
         from webauthn_halo2_tpu.circuits.ecdsa_circuit import auto_params
@@ -85,18 +90,25 @@ def worker(args) -> None:
                 pubkey_x=list(pub[0].to_bytes(32, "little")),
                 pubkey_y=list(pub[1].to_bytes(32, "little")),
             ))
-        proofs = dict(zip(my, api.generate_proofs_batch(reqs, params=params)))
+        t1 = time.time()
+        batch = api.generate_proofs_batch(reqs, params=params)
+        per_proof = [round((time.time() - t1) / max(len(batch), 1), 3)]
+        proofs = dict(zip(my, batch))
 
     # determinism assertion: every host must hold the SAME keys — the vk
     # digest is the cross-host conformance oracle (bit-identical proofs
     # regardless of which host proves which signature, SURVEY §4)
     for i, p in proofs.items():
         assert verify_proof(pk.vk, pk.srs, p, []), f"proof {i} invalid"
+    steady = per_proof[1:] or per_proof  # first proof pays the compiles
     out = {
         "host": args.host_id,
         "proved": sorted(proofs),
         "vk_digest": hex(pk.vk.transcript_repr)[:34],
         "wall_s": round(time.time() - t0, 2),
+        "per_proof_s": per_proof,
+        "steady_proofs_per_s": round(
+            len(steady) / max(sum(steady), 1e-9), 4),
         "proofs_per_s": round(len(proofs) / (time.time() - t0), 4),
     }
     print(json.dumps(out), flush=True)

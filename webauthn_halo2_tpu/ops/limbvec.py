@@ -29,9 +29,60 @@ from ..fields.limbs import B, L, MASK, FieldSpec
 
 __all__ = [
     "spec_consts", "unpack_words", "pack_words",
+    "pack16", "unpack16", "pack16_stacked", "unpack16_stacked",
     "mm", "lazy_reduce", "sub", "carry_round", "is_zero",
     "madd", "jadd_unsafe", "jdouble", "jadd_complete",
 ]
+
+PW = 17  # 16-bit-packed words per element (2 limbs/word, 33rd solo)
+
+
+def pack16(limbs: list) -> list:
+    """L lazy limb tiles (< 2^15 each — montmul outputs are <= ~2^9) ->
+    PW int32 word tiles. Halves the HBM bytes of the emit/bucket streams
+    and the fill gather."""
+    out = [limbs[2 * w] + (limbs[2 * w + 1] << 16)
+           for w in range(L // 2)]
+    out.append(limbs[L - 1])
+    return out
+
+
+def unpack16(words: list) -> list:
+    limbs = []
+    for w in range(L // 2):
+        limbs.append(words[w] & 0xFFFF)
+        limbs.append(words[w] >> 16)
+    limbs.append(words[L // 2])
+    return limbs
+
+
+def pack16_stacked(x):
+    """(L, ...) stacked -> (PW, ...)."""
+    import jax.numpy as _jnp
+
+    rows = [x[2 * w] + (x[2 * w + 1] << 16) for w in range(L // 2)]
+    return _jnp.concatenate(
+        [_jnp.stack(rows), x[L - 1:L]], axis=0)
+
+
+def unpack16_stacked(w):
+    """(PW, ...) -> (L, ...) stacked."""
+    import jax.numpy as _jnp
+
+    rows = []
+    for i in range(L // 2):
+        rows.append(w[i] & 0xFFFF)
+        rows.append(w[i] >> 16)
+    rows.append(w[L // 2])
+    return _jnp.stack(rows)
+
+
+def pack16_host(limbs: np.ndarray) -> np.ndarray:
+    """(L, ...) tight numpy limbs -> (PW, ...) int32 words."""
+    a = limbs.astype(np.int64)
+    rows = [a[2 * w] + (a[2 * w + 1] << 16) for w in range(L // 2)]
+    return np.concatenate(
+        [np.stack(rows), a[L - 1:L]], axis=0).astype(np.int32)
 
 
 def spec_consts(spec: FieldSpec) -> dict:

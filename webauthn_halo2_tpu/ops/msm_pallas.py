@@ -343,21 +343,24 @@ def _interior_kernel_v2(consts, S, pxw_ref, pyw_ref, d_ref,
     zero_l = [jnp.zeros_like(d) for _ in range(L)]
 
     def read_pt(xr, yr, zr):
-        return ([xr[0, i] for i in range(L)],
-                [yr[0, i] for i in range(L)],
-                [zr[0, i] for i in range(L)])
+        return (V.unpack16([xr[0, i] for i in range(V.PW)]),
+                V.unpack16([yr[0, i] for i in range(V.PW)]),
+                V.unpack16([zr[0, i] for i in range(V.PW)]))
 
     def write_pt(xr, yr, zr, p):
-        for i in range(L):
-            xr[0, i] = p[0][i]
-            yr[0, i] = p[1][i]
-            zr[0, i] = p[2][i]
+        # state blocks stay packed in HBM (PW words); unpack on read
+        for i, (vx, vy, vz) in enumerate(zip(
+                V.pack16(p[0]), V.pack16(p[1]), V.pack16(p[2]))):
+            xr[0, i] = vx
+            yr[0, i] = vy
+            zr[0, i] = vz
 
     def write_emit(p):
-        for i in range(L):
-            ex_ref[0, 0, i] = p[0][i]
-            ey_ref[0, 0, i] = p[1][i]
-            ez_ref[0, 0, i] = p[2][i]
+        for i, (vx, vy, vz) in enumerate(zip(
+                V.pack16(p[0]), V.pack16(p[1]), V.pack16(p[2]))):
+            ex_ref[0, 0, i] = vx
+            ey_ref[0, 0, i] = vy
+            ez_ref[0, 0, i] = vz
 
     @pl.when(t == 0)
     def _init():
@@ -405,29 +408,30 @@ def _interior_v2(spec: FieldSpec, pxw, pyw, digs, interpret: bool):
 
     R_, S, _, SUB, LN = pxw.shape
     consts = V.spec_consts(spec)
+    PW = V.PW
     blk_w = pl.BlockSpec((1, 1, V.NW, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_e = pl.BlockSpec((1, 1, L, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
+    blk_e = pl.BlockSpec((1, 1, PW, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_dig = pl.BlockSpec((1, 1, 1, SUB, LN), lambda r, t: (r, t, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    blk_fin = pl.BlockSpec((1, L, SUB, LN), lambda r, t: (r, 0, 0, 0),
+    blk_fin = pl.BlockSpec((1, PW, SUB, LN), lambda r, t: (r, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     blk_vec = pl.BlockSpec((1, SUB, LN), lambda r, t: (r, 0, 0),
                            memory_space=pltpu.VMEM)
     sds = jax.ShapeDtypeStruct
     out_shape = (
-        sds((R_, S, L, SUB, LN), jnp.int32),   # emit x
-        sds((R_, S, L, SUB, LN), jnp.int32),   # emit y
-        sds((R_, S, L, SUB, LN), jnp.int32),   # emit z
+        sds((R_, S, PW, SUB, LN), jnp.int32),  # emit x (16-bit packed)
+        sds((R_, S, PW, SUB, LN), jnp.int32),  # emit y
+        sds((R_, S, PW, SUB, LN), jnp.int32),  # emit z
         sds((R_, S, 1, SUB, LN), jnp.int32),   # labels
-        sds((R_, L, SUB, LN), jnp.int32),      # final acc x/y/z
-        sds((R_, L, SUB, LN), jnp.int32),
-        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, PW, SUB, LN), jnp.int32),     # final acc x/y/z (packed)
+        sds((R_, PW, SUB, LN), jnp.int32),
+        sds((R_, PW, SUB, LN), jnp.int32),
         sds((R_, SUB, LN), jnp.int32),         # final cur
-        sds((R_, L, SUB, LN), jnp.int32),      # first run x/y/z
-        sds((R_, L, SUB, LN), jnp.int32),
-        sds((R_, L, SUB, LN), jnp.int32),
+        sds((R_, PW, SUB, LN), jnp.int32),     # first run x/y/z (packed)
+        sds((R_, PW, SUB, LN), jnp.int32),
+        sds((R_, PW, SUB, LN), jnp.int32),
         sds((R_, SUB, LN), jnp.int32),         # first dig
         sds((R_, SUB, LN), jnp.int32),         # has first
     )
@@ -456,11 +460,15 @@ def _scan_kernel(spec, m, bx_ref, by_ref, bz_ref, seg_ref,
                  ox_ref, oy_ref, oz_ref):
     """Segmented inclusive prefix sum over the lane axis (Hillis-Steele,
     log2(m) passes of infinity-aware unsafe adds — ops/msm.
-    _prefix_scan_points parity: fragments are disjoint point subsets)."""
+    _prefix_scan_points parity: fragments are disjoint point subsets).
+    I/O is 16-bit packed (PW rows); arithmetic runs unpacked."""
+    from . import limbvec as V
+
     p_col = p_ref[:, :]
     pad = pad_ref[:, :]
     c256 = c256_ref[:, :]
-    X = (bx_ref[0], by_ref[0], bz_ref[0])
+    X = (V.unpack16_stacked(bx_ref[0]), V.unpack16_stacked(by_ref[0]),
+         V.unpack16_stacked(bz_ref[0]))
     seg = seg_ref[0]                          # (1, m)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     d = 1
@@ -475,20 +483,22 @@ def _scan_kernel(spec, m, bx_ref, by_ref, bz_ref, seg_ref,
         X = (jnp.where(ok, cx, X[0]), jnp.where(ok, cy, X[1]),
              jnp.where(ok, cz, X[2]))
         d *= 2
-    ox_ref[0] = X[0]
-    oy_ref[0] = X[1]
-    oz_ref[0] = X[2]
+    ox_ref[0] = V.pack16_stacked(X[0])
+    oy_ref[0] = V.pack16_stacked(X[1])
+    oz_ref[0] = V.pack16_stacked(X[2])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def _scan_pallas(spec: FieldSpec, bx, by, bz, seg, interpret: bool):
-    """bx/by/bz: (R, L, m); seg: (R, 1, m) -> merged (R, L, m)."""
-    R_, _, m = bx.shape
+    """bx/by/bz: (R, PW, m) packed; seg: (R, 1, m) -> merged packed."""
+    from . import limbvec as V
+
+    R_, PW_, m = bx.shape
     consts = [
         jnp.asarray(np.asarray(v).reshape(L, 1), jnp.int32)
         for v in (spec.p_limbs, spec.one_mont, spec.sub_pad, spec.c256_limbs)
     ]
-    blk = pl.BlockSpec((1, L, m), lambda r: (r, 0, 0),
+    blk = pl.BlockSpec((1, PW_, m), lambda r: (r, 0, 0),
                        memory_space=pltpu.VMEM)
     blk_seg = pl.BlockSpec((1, 1, m), lambda r: (r, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -496,7 +506,7 @@ def _scan_pallas(spec: FieldSpec, bx, by, bz, seg, interpret: bool):
     sds = jax.ShapeDtypeStruct
     return pl.pallas_call(
         functools.partial(_scan_kernel, spec, m),
-        out_shape=tuple(sds((R_, L, m), jnp.int32) for _ in range(3)),
+        out_shape=tuple(sds((R_, PW_, m), jnp.int32) for _ in range(3)),
         grid=(R_,),
         in_specs=[blk, blk, blk, blk_seg] + [blk_c] * 4,
         out_specs=(blk, blk, blk),
@@ -615,14 +625,20 @@ def _combine_kernel(spec, m, G, bx_ref, by_ref, bz_ref,
     #    weighted sum W_g = sum_{i>=1} run_i folded into the same pass
     #    (nested partials -> complete adds). fori_loop keeps the body
     #    compiled once; no per-i scratch (VMEM budget).
-    run = (bx_ref[0, m - 1], by_ref[0, m - 1], bz_ref[0, m - 1])
+    from . import limbvec as V
+
+    def rd(i):
+        return (V.unpack16_stacked(bx_ref[0, i]),
+                V.unpack16_stacked(by_ref[0, i]),
+                V.unpack16_stacked(bz_ref[0, i]))
+
+    run = rd(m - 1)
     W = run  # S_{m-1}; for m == 1 it is overwritten below
 
     def sfx_body(j, carry):
         run, W = carry
         i = m - 2 - j
-        b_i = (bx_ref[0, i], by_ref[0, i], bz_ref[0, i])
-        run = addu(run, b_i)
+        run = addu(run, rd(i))
         W = addc(W, run)
         return (run, W)
 
@@ -630,7 +646,7 @@ def _combine_kernel(spec, m, G, bx_ref, by_ref, bz_ref,
         # i from m-2 down to 1; i = 0 contributes to run only (below)
         run, W = jax.lax.fori_loop(0, m - 2, sfx_body, (run, W))
     if m > 1:
-        run = addu(run, (bx_ref[0, 0], by_ref[0, 0], bz_ref[0, 0]))
+        run = addu(run, rd(0))
 
     # 2) cross-chunk inclusive suffix of chunk totals T_g (lane axis);
     #    disjoint ranges -> unsafe
@@ -694,14 +710,14 @@ def _combine_kernel(spec, m, G, bx_ref, by_ref, bz_ref,
 
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def _combine(spec: FieldSpec, bx, by, bz, interpret: bool):
-    """bx/by/bz: (R, m, L, G) bucket coords -> (R, L, G) window sums
-    (result in lane 0)."""
-    R_, m, _, G = bx.shape
+    """bx/by/bz: (R, m, PW, G) PACKED bucket coords -> (R, L, G) window
+    sums (result in lane 0; output stays unpacked — it is tiny)."""
+    R_, m, PW_, G = bx.shape
     consts = [
         jnp.asarray(np.asarray(v).reshape(L, 1), jnp.int32)
         for v in (spec.p_limbs, spec.one_mont, spec.sub_pad, spec.c256_limbs)
     ] + [jnp.zeros((L, 1), jnp.int32)]
-    blk_b = pl.BlockSpec((1, m, L, G), lambda r: (r, 0, 0, 0),
+    blk_b = pl.BlockSpec((1, m, PW_, G), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_c = pl.BlockSpec((L, 1), lambda r: (0, 0), memory_space=pltpu.VMEM)
     blk_o = pl.BlockSpec((1, L, G), lambda r: (r, 0, 0),
@@ -863,168 +879,20 @@ def _msm_pallas_single(curve: CurveSpec, points: JPoint,
     by = scat(by, merged.y)
     bz = scat(bz, merged.z)
 
-    # combine: (R, L, nb) -> (R, m, L, G), bucket b = g*m + i
+    # combine: pack 16-bit (the kernel's input format), then
+    # (R, PW, nb) -> (R, m, PW, G), bucket b = g*m + i
+    from . import limbvec as V
+
     def to_mg(b):
-        return jnp.transpose(b.reshape(R_, L, G, m), (0, 3, 1, 2))
+        b = jnp.concatenate(
+            [b[:, 0:L - 1:2] + (b[:, 1:L - 1:2] << 16), b[:, L - 1:]],
+            axis=1)
+        return jnp.transpose(b.reshape(R_, V.PW, G, m), (0, 3, 1, 2))
 
     wx, wy, wz = _combine(f_q, to_mg(bx), to_mg(by), to_mg(bz), interpret)
     wsum = JPoint(wx[..., :1], wy[..., :1], wz[..., :1])  # (R, L, 1)
 
     # Horner over windows
-    ws = JPoint(
-        wsum.x.reshape(Bm, W, L), wsum.y.reshape(Bm, W, L),
-        wsum.z.reshape(Bm, W, L),
-    )
-
-    def horner(i, acc):
-        w = W - 2 - i
-        s = JPoint(
-            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.x, w, 1, False), 0, 1),
-            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.y, w, 1, False), 0, 1),
-            jnp.moveaxis(jax.lax.dynamic_index_in_dim(ws.z, w, 1, False), 0, 1),
-        )
-        for _ in range(c):
-            acc = E.double(curve, acc)
-        return E.add_unsafe(curve, acc, s)
-
-    top = JPoint(ws.x[:, W - 1].T, ws.y[:, W - 1].T, ws.z[:, W - 1].T)
-    return jax.lax.fori_loop(0, W - 1, horner, top)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _msm_pallas_single_v2(curve: CurveSpec, points: JPoint,
-                          scalars_mont: jnp.ndarray, c: int,
-                          k_lanes: int, interpret: bool) -> JPoint:
-    """One MSM via the v2 interior (packed gather + list-form limbs).
-
-    Same result as _msm_pallas_single; front end differs:
-      * single packed int32 sort key (digit << log2(n) | index) when it
-        fits 31 bits — halves XLA sort traffic vs the two-operand sort;
-      * coords are gathered as 8 packed words, not 33 limb planes.
-    """
-    from . import limbvec as V
-
-    f_r = _fr_spec()
-    f_q = curve.field
-    n = scalars_mont.shape[1]
-    Bm = 1
-    K = k_lanes
-    S = n // K
-    nb = 1 << c
-    G = min(COMBINE_G, nb)
-    m = nb // G
-    SUB = V2_SUB
-    LN = K // SUB
-
-    std = M.normalize(f_r, M.from_mont(f_r, scalars_mont))
-    from .msm import scalar_digits
-
-    digits = scalar_digits(std, c)  # (W, n)
-    W = digits.shape[0]
-    R_ = W
-    logn = n.bit_length() - 1
-
-    if c + logn <= 31:
-        key = (digits << logn) | jnp.arange(n, dtype=jnp.int32)[None]
-        skey = jax.lax.sort(key, dimension=1)
-        sdig = skey >> logn
-        order = skey & (n - 1)
-    else:
-        idx = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[None], digits.shape)
-        sdig, order = jax.lax.sort((digits, idx), dimension=1, num_keys=1)
-
-    # pack coords to words once, then gather word planes (8/33 the bytes)
-    pxw_full = jnp.stack(V.pack_words([points.x[i] for i in range(L)]))
-    pyw_full = jnp.stack(V.pack_words([points.y[i] for i in range(L)]))
-
-    def gatw(wds):  # (NW, n) -> (R, S, NW, SUB, LN)
-        g = wds[:, order]                       # (NW, R, n)
-        g = jnp.moveaxis(g, 1, 0)               # (R, NW, n)
-        g = jnp.transpose(g.reshape(R_, V.NW, K, S), (0, 3, 1, 2))
-        return g.reshape(R_, S, V.NW, SUB, LN)
-
-    pxw = gatw(pxw_full)
-    pyw = gatw(pyw_full)
-    digs = jnp.transpose(sdig.reshape(R_, 1, K, S), (0, 3, 1, 2))
-    digs = digs.reshape(R_, S, 1, SUB, LN)
-
-    outs = _interior_v2(f_q, pxw, pyw, digs, interpret)
-    # fold the (SUB, LN) tile split back to the flat K lane axis; stage D
-    # onward is identical to v1
-    (ex, ey, ez, labs, acx, acy, acz, cur, fx, fy, fz, fdig, hasf) = (
-        o.reshape(o.shape[:-2] + (o.shape[-2] * o.shape[-1],))
-        for o in outs
-    )
-    labs = labs[:, :, None] if labs.ndim == 2 else labs
-    cur = cur[:, None] if cur.ndim == 2 else cur
-    fdig = fdig[:, None] if fdig.ndim == 2 else fdig
-    hasf = hasf[:, None] if hasf.ndim == 2 else hasf
-
-    def lm(e):  # (R, S, L, K) -> (R, L, n)
-        return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, L, n)
-
-    ex, ey, ez = lm(ex), lm(ey), lm(ez)
-    labs = jnp.transpose(labs, (0, 2, 3, 1)).reshape(R_, n)
-
-    targets = jnp.arange(nb, dtype=jnp.int32)
-    pos = jax.vmap(
-        lambda lr: jnp.searchsorted(lr, targets, side="right").astype(jnp.int32)
-    )(labs) - 1
-    pos = jnp.maximum(pos, 0)
-    hit = jnp.take_along_axis(labs, pos, axis=1) == targets[None]
-
-    def fill(e):  # (R, L, n) -> (R, L, nb)
-        return jnp.take_along_axis(
-            e, jnp.broadcast_to(pos[:, None, :], (R_, L, nb)), axis=2
-        )
-
-    one_col = jnp.asarray(
-        np.asarray(f_q.one_mont).reshape(1, L, 1), jnp.int32
-    )
-    bx = jnp.where(hit[:, None, :], fill(ex), one_col)
-    by = jnp.where(hit[:, None, :], fill(ey), one_col)
-    bz = jnp.where(hit[:, None, :], fill(ez), 0)
-
-    hasf_b = hasf[:, 0, :] > 0
-    a_dig = jnp.where(hasf_b, fdig[:, 0, :], cur[:, 0, :])
-    inf_xy = jnp.broadcast_to(one_col, (R_, L, K))
-    a_x = jnp.where(hasf_b[:, None, :], fx, inf_xy)
-    a_y = jnp.where(hasf_b[:, None, :], fy, inf_xy)
-    a_z = jnp.where(hasf_b[:, None, :], fz, 0)
-    seg = jnp.stack([a_dig, cur[:, 0, :]], axis=2).reshape(R_, 2 * K)
-    bnd = JPoint(
-        jnp.stack([a_x, acx], axis=3).reshape(R_, L, 2 * K),
-        jnp.stack([a_y, acy], axis=3).reshape(R_, L, 2 * K),
-        jnp.stack([a_z, acz], axis=3).reshape(R_, L, 2 * K),
-    )
-    from .msm import _prefix_scan_points
-
-    merged = jax.vmap(
-        lambda p_x, p_y, p_z, s: _prefix_scan_points(
-            curve, JPoint(p_x, p_y, p_z), s
-        )
-    )(bnd.x, bnd.y, bnd.z, seg)
-    is_tail = jnp.concatenate(
-        [seg[:, :-1] != seg[:, 1:], jnp.ones((R_, 1), bool)], axis=1
-    )
-    target = jnp.where(is_tail, seg, nb)
-
-    def scat(b, vals):
-        return jax.vmap(
-            lambda bb, tt, vv: bb.at[:, tt].set(vv, mode="drop")
-        )(b, target, vals)
-
-    bx = scat(bx, merged.x)
-    by = scat(by, merged.y)
-    bz = scat(bz, merged.z)
-
-    def to_mg(b):
-        return jnp.transpose(b.reshape(R_, L, G, m), (0, 3, 1, 2))
-
-    wx, wy, wz = _combine(f_q, to_mg(bx), to_mg(by), to_mg(bz), interpret)
-    wsum = JPoint(wx[..., :1], wy[..., :1], wz[..., :1])
-
     ws = JPoint(
         wsum.x.reshape(Bm, W, L), wsum.y.reshape(Bm, W, L),
         wsum.z.reshape(Bm, W, L),
@@ -1108,8 +976,10 @@ def _msm_windows_v3(curve: CurveSpec, points: JPoint,
     fdig = fdig[:, None] if fdig.ndim == 2 else fdig
     hasf = hasf[:, None] if hasf.ndim == 2 else hasf
 
-    def lm(e):
-        return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, L, n)
+    PW = V.PW
+
+    def lm(e):  # (R, S, PW, K) -> (R, PW, n): 16-bit-packed coords
+        return jnp.transpose(e, (0, 2, 3, 1)).reshape(R_, PW, n)
 
     ex, ey, ez = lm(ex), lm(ey), lm(ez)
     labs = jnp.transpose(labs, (0, 2, 3, 1)).reshape(R_, n)
@@ -1121,14 +991,16 @@ def _msm_windows_v3(curve: CurveSpec, points: JPoint,
     pos = jnp.maximum(pos, 0)
     hit = jnp.take_along_axis(labs, pos, axis=1) == targets[None]
 
-    def fill(e):
+    def fill(e):  # (R, PW, n) -> (R, PW, nb): half the round-3 bytes
         return jnp.take_along_axis(
-            e, jnp.broadcast_to(pos[:, None, :], (R_, L, nb)), axis=2
+            e, jnp.broadcast_to(pos[:, None, :], (R_, PW, nb)), axis=2
         )
 
-    one_col = jnp.asarray(
-        np.asarray(f_q.one_mont).reshape(1, L, 1), jnp.int32
-    )
+    one_host = np.asarray(f_q.one_mont).astype(np.int64)
+    one_pk = np.concatenate(
+        [one_host[0:L - 1:2] + (one_host[1:L - 1:2] << 16),
+         one_host[L - 1:]]).astype(np.int32)
+    one_col = jnp.asarray(one_pk.reshape(1, PW, 1))
     bx = jnp.where(hit[:, None, :], fill(ex), one_col)
     by = jnp.where(hit[:, None, :], fill(ey), one_col)
     bz = jnp.where(hit[:, None, :], fill(ez), 0)
@@ -1136,14 +1008,14 @@ def _msm_windows_v3(curve: CurveSpec, points: JPoint,
     # boundary fragments -> Pallas segmented scan (not XLA log passes)
     hasf_b = hasf[:, 0, :] > 0
     a_dig = jnp.where(hasf_b, fdig[:, 0, :], cur[:, 0, :])
-    inf_xy = jnp.broadcast_to(one_col, (R_, L, K))
+    inf_xy = jnp.broadcast_to(one_col, (R_, PW, K))
     a_x = jnp.where(hasf_b[:, None, :], fx, inf_xy)
     a_y = jnp.where(hasf_b[:, None, :], fy, inf_xy)
     a_z = jnp.where(hasf_b[:, None, :], fz, 0)
     seg = jnp.stack([a_dig, cur[:, 0, :]], axis=2).reshape(R_, 1, 2 * K)
-    bnd_x = jnp.stack([a_x, acx], axis=3).reshape(R_, L, 2 * K)
-    bnd_y = jnp.stack([a_y, acy], axis=3).reshape(R_, L, 2 * K)
-    bnd_z = jnp.stack([a_z, acz], axis=3).reshape(R_, L, 2 * K)
+    bnd_x = jnp.stack([a_x, acx], axis=3).reshape(R_, PW, 2 * K)
+    bnd_y = jnp.stack([a_y, acy], axis=3).reshape(R_, PW, 2 * K)
+    bnd_z = jnp.stack([a_z, acz], axis=3).reshape(R_, PW, 2 * K)
     mx, my, mz = _scan_pallas(f_q, bnd_x, bnd_y, bnd_z, seg, interpret)
     seg2 = seg[:, 0, :]
     is_tail = jnp.concatenate(
@@ -1160,8 +1032,8 @@ def _msm_windows_v3(curve: CurveSpec, points: JPoint,
     by = scat(by, my)
     bz = scat(bz, mz)
 
-    def to_mg(b):
-        return jnp.transpose(b.reshape(R_, L, G, m), (0, 3, 1, 2))
+    def to_mg(b):  # (R, PW, nb) -> (R, m, PW, G), bucket b = g*m + i
+        return jnp.transpose(b.reshape(R_, PW, G, m), (0, 3, 1, 2))
 
     wx, wy, wz = _combine(f_q, to_mg(bx), to_mg(by), to_mg(bz), interpret)
     # (R, L, G) -> lane 0 holds the window sum -> (W, L)
@@ -1206,7 +1078,7 @@ from ..utils.aot_cache import aot_wrap  # noqa: E402
 # ~8 min remote compile per process without the AOT disk cache
 _msm_single_aot = aot_wrap("msm_single", _msm_pallas_single,
                            static_argnums=(0, 3, 4, 5))
-_windows_v3_aot = aot_wrap("msm3a_windows", _msm_windows_v3,
+_windows_v3_aot = aot_wrap("msm4a_windows", _msm_windows_v3,
                            static_argnums=(0, 3, 4, 5))
 
 

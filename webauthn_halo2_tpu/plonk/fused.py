@@ -53,7 +53,7 @@ def _one_b(shape) -> jnp.ndarray:
 def _to_mont_stack():
     # vmap over the batch axis: modops address limbs on axis 0
     return aot_wrap(f"to_mont_stack_{_GRAPH_REV}", jax.jit(
-        jax.vmap(lambda x: M.to_mont(SPEC, x))))
+        jax.vmap(lambda x: M.to_mont(SPEC, x.astype(jnp.int32)))))
 
 
 def to_mont_stack(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +64,7 @@ def to_mont_stack(x: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _to_mont_split_fn(na: int):
     def fn(x):
-        m = jax.vmap(lambda c: M.to_mont(SPEC, c))(x)
+        m = jax.vmap(lambda c: M.to_mont(SPEC, c.astype(jnp.int32)))(x)
         return m[:na], m[na:]
 
     return aot_wrap(f"tmsplit{na}_{_GRAPH_REV}", jax.jit(fn))
@@ -335,10 +335,11 @@ class FusedPhases:
         def build():
             def fn(zs, tails_std, rand_std):  # zs: tuple of (L, n)
                 z_stack = jnp.stack(zs)
-                tails = jax.vmap(lambda c: M.to_mont(SPEC, c))(tails_std)
+                tails = jax.vmap(lambda c: M.to_mont(
+                    SPEC, c.astype(jnp.int32)))(tails_std)
                 if tails.shape[-1]:
                     z_stack = z_stack.at[:, :, usable + 1:].set(tails)
-                rnd = M.to_mont(SPEC, rand_std)
+                rnd = M.to_mont(SPEC, rand_std.astype(jnp.int32))
                 return z_stack, rnd, jnp.concatenate(
                     [z_stack, rnd[None]], axis=0)
 

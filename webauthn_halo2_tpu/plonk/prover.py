@@ -116,12 +116,17 @@ def _fused_for(pk) -> FusedPhases:
 
 
 def _pack_std(cols: list[list[int]], n: int) -> np.ndarray:
-    """Host int columns -> (B, L, n) standard limb array (one pass)."""
+    """Host int columns -> (B, L, n) standard limb array, uint8.
+
+    uint8 keeps the host->device copy at 1/4 the bytes (the tunnel moves
+    ~50 MB/s; a 7-advice k=17 witness is 138 MB as int32, 34 MB as u8 —
+    seconds of the advice phase). Device graphs cast to int32 on entry
+    (to_mont_stack/to_mont_split)."""
     flat: list[int] = []
     for col in cols:
         flat.extend(col)
         flat.extend([0] * (n - len(col)))
-    arr = np.asarray(ints_to_limbs_fast(flat), dtype=np.int32)  # (L, B*n)
+    arr = np.asarray(ints_to_limbs_fast(flat), dtype=np.uint8)  # (L, B*n)
     B = len(cols)
     return np.ascontiguousarray(
         arr.reshape(arr.shape[0], B, n).transpose(1, 0, 2))
