@@ -70,7 +70,18 @@ def main():
     bad[len(bad) // 2] ^= 1
     assert not run_yul_verifier(yul, bytes(bad)), "tampered proof accepted!"
     log("tampered proof correctly rejected")
-    print('{"metric": "evm_path_e2e", "value": 1, "unit": "ok"}')
+
+    # persist the proof so tests/test_chain_e2e.py's production fixture can
+    # drive handleOps with the real circuit (t.sol's validSignature parity)
+    with open("results/proof_gwc_k17.hex", "w") as f:
+        f.write(proof.hex())
+    import json as _json
+
+    with open("results/evm_gas.json", "w") as f:
+        _json.dump({"k": 17, "verify_gas": gas,
+                    "reference_validate_user_op_avg": 399_477}, f)
+    print('{"metric": "evm_verify_gas_k17", "value": %d, "unit": "gas", '
+          '"vs_baseline": %.3f}' % (gas, 399_477 / gas))
 
 
 if __name__ == "__main__":

@@ -335,3 +335,43 @@ def test_simulate_validation(world):
     body = res.output[4:]
     sig_failed = int.from_bytes(body[0xE0 + 64:0xE0 + 96], "big")
     assert sig_failed == 1
+
+
+def test_production_circuit_user_op():
+    """handleOps with the PRODUCTION k=17 ECDSA circuit: the generated
+    verifier bytecode + a real GWC/Keccak proof produced on the TPU by
+    bench_evm.py (the reference's P256Account.t.sol pins its production
+    artifacts the same way). Runs only when the committed artifacts
+    exist; the K=6 toy fixture covers the flow in every CI run."""
+    import json as _json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code_p = os.path.join(root, "results", "P256Verifier.code")
+    proof_p = os.path.join(root, "results", "proof_gwc_k17.hex")
+    if not (os.path.exists(code_p) and os.path.exists(proof_p)):
+        pytest.skip("production artifacts not generated (run bench_evm.py)")
+    deploy = bytes(_json.load(open(code_p))["code"])
+    proof = bytes.fromhex(open(proof_p).read().strip())
+
+    chain = Chain()
+    chain.set_balance(RICHARD, 1000 * ETH)
+    vaddr, res = chain.create(RICHARD, deploy)
+    assert res.success
+    suite = contracts.deploy_suite(chain, RICHARD, vaddr)
+    caddr, res = chain.create(RICHARD, contracts.compile_counter()[0])
+    assert res.success
+    suite["counter"] = caddr
+
+    account = _create_account(chain, suite)
+    _fund_deposit(chain, suite, account, 10 * ETH)
+    op = _user_op(chain, suite, account, proof)
+    res = _handle_ops(chain, suite, [op])
+    assert res.success, res.output.hex()
+    num = _call(chain, RICHARD, suite["counter"],
+                selector("number()").to_bytes(4, "big"))
+    assert _word(num) == 1
+
+    bad = _user_op(chain, suite, account, b"\x00" * len(proof))
+    res = _handle_ops(chain, suite, [bad])
+    assert not res.success  # AA24 via FailedOp revert
