@@ -89,11 +89,39 @@ def _hostout_enabled(n: int) -> bool:
     return _use_fused(n)
 
 
+def _commit_mesh():
+    """Opt-in TP-sharded commit phase (SURVEY §2.3): point axis of every
+    commit MSM partitioned over the device mesh. WH2_SHARDED_COMMITS=1 +
+    >=2 devices routes commit_lagrange_batch through
+    parallel.sharded.sharded_msm — this is the 'one prover phase
+    demonstrably sharded' path exercised by dryrun_multichip."""
+    import os
+
+    if os.environ.get("WH2_SHARDED_COMMITS", "0") != "1":
+        return None
+    import jax
+
+    if len(jax.devices()) < 2:
+        return None
+    from ..parallel.sharded import make_mesh
+
+    return make_mesh()
+
+
 def commit_lagrange_batch(srs: SRS, cols) -> list:
     """Commit many Lagrange columns (list of rows OR (B, L, n) stack)."""
     stack, B = _batch_input(cols)
     if not B:
         return []
+    mesh = _commit_mesh()
+    if mesh is not None:
+        from ..parallel.sharded import sharded_msm
+
+        out = []
+        for i in range(B):
+            res = sharded_msm(mesh, srs.g_lag, stack[i])
+            out.append(E.to_affine_ints(E.BN254_CURVE, res)[0])
+        return out
     if _hostout_enabled(stack.shape[2]):
         from ..ops.msm_pallas import msm_hostout
 
