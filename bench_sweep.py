@@ -41,10 +41,22 @@ def main():
 
     for k in ks:
         params = auto_params(k)
-        print(f"k={k}: {params}", file=sys.stderr, flush=True)
         srs = get_srs(k)
-        circuit = ECDSACircuit(params)
-        cs, fixed, _a, copies = circuit.build(ECDSAInputs.dummy())
+        # auto_params estimates from total cell count; the builder's
+        # per-column fill is not perfectly balanced, so grow columns
+        # until the witness actually fits (the build is the check)
+        for attempt in range(4):
+            print(f"k={k}: {params}", file=sys.stderr, flush=True)
+            circuit = ECDSACircuit(params)
+            try:
+                cs, fixed, _a, copies = circuit.build(ECDSAInputs.dummy())
+                break
+            except AssertionError as e:
+                print(f"k={k}: retry ({e})", file=sys.stderr, flush=True)
+                params.num_advice += 1
+                params.num_lookup_advice += (attempt == 2)
+        else:
+            raise RuntimeError(f"k={k}: could not fit circuit")
         pk = keygen_cached(srs, cs, fixed, copies)
 
         sk, pub = ecdsa_keygen()
