@@ -88,7 +88,7 @@ def main():
         f"{len(proof)} bytes")
 
     times = []
-    n_iters = int(os.environ.get("WH2_BENCH_ITERS", "2"))
+    n_iters = int(os.environ.get("WH2_BENCH_ITERS", "3"))
     for i in range(n_iters):
         # time witness synthesis + proving together: the reference's
         # create_proof includes circuit synthesis (ecdsa_p256.rs:415-423)
@@ -104,7 +104,9 @@ def main():
     log(f"verify: {ok} in {time.time()-t0:.2f}s")
     assert ok, "benchmark proof failed verification"
 
-    best = min(times)
+    # VERDICT r4 #9: report the reproducible number — median of the steady
+    # runs with min/max spread, not the best observed run
+    best = sorted(times)[len(times) // 2]
 
     if os.environ.get("WH2_TRACE"):
         try:
@@ -169,6 +171,8 @@ def main():
         # BASELINE.md metric lines: proofs/s (single-chip steady state,
         # witness+prove) and MSM Mpoints/s per chip, anchored timers
         "proofs_per_s": round(1.0 / best, 4),
+        "spread_min_s": round(min(times), 4),
+        "spread_max_s": round(max(times), 4),
     }
     if mpoints is not None:
         record["mpoints_per_s"] = round(mpoints, 3)

@@ -37,6 +37,32 @@ def test_sharded_ntt_matches_single_chip(mesh):
     assert FR_SPEC.decode(np.asarray(multi)) == FR_SPEC.decode(np.asarray(single))
 
 
+def test_sharded_intt_matches_single_chip(mesh):
+    k = 9
+    n = 1 << k
+    evals = [secrets.randbelow(BN254_FR) for _ in range(n)]
+    a = jnp.asarray(FR_SPEC.encode(evals))
+    single = N.intt(FR_SPEC, a, k)
+    from webauthn_halo2_tpu.parallel.sharded import sharded_intt
+
+    multi = sharded_intt(mesh, a, k)
+    assert FR_SPEC.decode(np.asarray(multi)) == FR_SPEC.decode(np.asarray(single))
+
+
+def test_sharded_coeff_to_extended_matches_domain(mesh):
+    from webauthn_halo2_tpu.parallel.sharded import sharded_coeff_to_extended
+    from webauthn_halo2_tpu.plonk.domain import Domain
+
+    k, ext_k = 7, 9
+    n = 1 << k
+    coeffs = [secrets.randbelow(BN254_FR) for _ in range(n)]
+    a = jnp.asarray(FR_SPEC.encode(coeffs))
+    dom = Domain(k, ext_k)
+    single = dom.coeff_to_extended(a)
+    multi = sharded_coeff_to_extended(mesh, a, k, ext_k)
+    assert FR_SPEC.decode(np.asarray(multi)) == FR_SPEC.decode(np.asarray(single))
+
+
 def test_sharded_msm_matches_single_chip(mesh):
     n = 64
     pts = [BN254_G1_CURVE.random_point() for _ in range(n)]

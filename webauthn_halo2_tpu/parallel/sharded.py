@@ -84,19 +84,26 @@ def sharded_msm(mesh: Mesh, points: JPoint, scalars_mont: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _ntt_shard_consts(k: int, D: int):
-    """(dft matrix (L,D,D), twiddle table (L,D,n2)) as numpy int32."""
+def _ntt_shard_consts(k: int, D: int, inverse: bool = False):
+    """(dft matrix (L,D,D), twiddle table (L,D,n2)) as numpy int32.
+
+    For the inverse transform the root is w^-1 and the cross-twiddle
+    table carries the D^-1 factor (the local length-n2 inverse core
+    supplies the remaining n2^-1, so the product is the full n^-1)."""
     n = 1 << k
     n2 = n // D
     p = FR_SPEC.p
     w = N.root_of_unity(k)
+    if inverse:
+        w = pow(w, p - 2, p)
     wD = pow(w, n2, p)  # order D root: omega_{n1}
     dft = [pow(wD, (i * j) % D, p) for j in range(D) for i in range(D)]
     dft_t = np.asarray(FR_SPEC.encode(dft)).reshape(L, D, D)  # [:, j1, i1]
+    scale = pow(D, p - 2, p) if inverse else 1
     tw = []
     for j1 in range(D):
         base = pow(w, j1, p)
-        acc = 1
+        acc = scale
         for i2 in range(n2):
             tw.append(acc)
             acc = acc * base % p
@@ -104,7 +111,8 @@ def _ntt_shard_consts(k: int, D: int):
     return dft_t, tw_t
 
 
-def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
+def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int,
+                inverse: bool = False) -> jnp.ndarray:
     """Forward NTT of size 2^k, polynomial axis sharded over the mesh —
     constant per-device memory via the all_to_all transpose (SURVEY §2.3,
     the "sequence-parallel" analog: the polynomial axis is the long axis).
@@ -133,7 +141,7 @@ def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
     n2 = n // D
     n2d = n2 // D
     k2 = n2.bit_length() - 1
-    dft_np, tw_np = _ntt_shard_consts(k, D)
+    dft_np, tw_np = _ntt_shard_consts(k, D, inverse)
     dft_t = jnp.asarray(dft_np)          # (L, j1, i1)
     # twiddle table re-chunked by i2 blocks: (L, j1, c, n2d) -> shard on c
     tw_t = jnp.asarray(tw_np).reshape(L, D, D, n2d)
@@ -170,12 +178,32 @@ def sharded_ntt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
             y, axis, split_axis=1, concat_axis=2, tiled=True
         )                                        # (L, 1, D*n2d = n2)
         # 4) local long NTT over the full i2 range
-        z = N._ntt_core(FR_SPEC, back[:, 0], k2, False, FR_SPEC.p,
+        z = N._ntt_core(FR_SPEC, back[:, 0], k2, inverse, FR_SPEC.p,
                         N._base_root(FR_SPEC))
         return z[:, None, :]
 
     out = stage(rows, tw_t, dft_t)  # (L, D, n2): [j1, j2] = X[j1 + D*j2]
     return out.transpose(0, 2, 1).reshape(L, n)
+
+
+def sharded_intt(mesh: Mesh, a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse NTT, polynomial axis sharded (same transpose FFT with the
+    inverse root; the n^-1 factor is split D^-1 * n2^-1 across stages).
+    Bit-identical to the single-chip N.intt."""
+    return sharded_ntt(mesh, a, k, inverse=True)
+
+
+def sharded_coeff_to_extended(mesh: Mesh, a: jnp.ndarray, k: int,
+                              ext_k: int) -> jnp.ndarray:
+    """Domain.coeff_to_extended with the big forward NTT on the mesh:
+    zero-pad to ext_n, coset-shift (elementwise), distributed NTT."""
+    from ..fields.constants import BN254_FR_GENERATOR
+
+    ext_n = 1 << ext_k
+    pad = jnp.zeros((L, ext_n - a.shape[1]), dtype=jnp.int32)
+    a = jnp.concatenate([a, pad], axis=1)
+    shifted = N.coset_shift(FR_SPEC, a, BN254_FR_GENERATOR)
+    return sharded_ntt(mesh, shifted, ext_k)
 
 
 # ---------------------------------------------------------------------------

@@ -105,11 +105,41 @@ def _chunked(fn, stack: jnp.ndarray) -> jnp.ndarray:
     return out[:m]
 
 
+def _ntt_mesh(k: int):
+    """Opt-in SP-sharded basis conversions (SURVEY §2.3 distributed NTT):
+    WH2_SHARDED_NTT=1 + >=2 devices routes the prover's l2c/c2e NTTs
+    through parallel.sharded's all_to_all transpose FFT on the mesh."""
+    import os
+
+    if os.environ.get("WH2_SHARDED_NTT", "0") != "1":
+        return None
+    import jax
+
+    D = len(jax.devices())
+    if D < 2 or (1 << k) % (D * D) != 0:
+        return None
+    from ..parallel.sharded import make_mesh
+
+    return make_mesh()
+
+
 def batched_l2c(k: int, stack: jnp.ndarray) -> jnp.ndarray:
+    mesh = _ntt_mesh(k)
+    if mesh is not None:
+        from ..parallel.sharded import sharded_intt
+
+        return jnp.stack([sharded_intt(mesh, stack[i], k)
+                          for i in range(stack.shape[0])])
     return _chunked(_l2c_fn(k), stack)
 
 
 def batched_c2e(k: int, ext_k: int, stack: jnp.ndarray) -> jnp.ndarray:
+    mesh = _ntt_mesh(ext_k)
+    if mesh is not None:
+        from ..parallel.sharded import sharded_coeff_to_extended
+
+        return jnp.stack([sharded_coeff_to_extended(mesh, stack[i], k, ext_k)
+                          for i in range(stack.shape[0])])
     return _chunked(_c2e_fn(k, ext_k), stack)
 
 
