@@ -163,6 +163,35 @@ def main():
     except Exception as e:  # secondary metric must not break the bench
         log(f"msm metric skipped: {e}")
 
+    # batched throughput (VERDICT r4 #6): N proofs through the pipelined
+    # batch API (witness prep + 2 prover workers overlapping host
+    # segments with device phases); wall-clock proofs/s at batch size B
+    batch_pps = None
+    B = int(os.environ.get("WH2_BENCH_BATCH", "8"))
+    if B > 1:
+        try:
+            from webauthn_halo2_tpu import api as _api
+
+            reqs = []
+            for _ in range(B):
+                sk, pub = ecdsa_keygen()
+                m = secrets.randbelow(P256_N)
+                r, s = ecdsa_sign(m, sk)
+                le = lambda x: list(int(x).to_bytes(32, "little"))  # noqa: E731
+                reqs.append({"r": le(r), "s": le(s), "pubkey_x": le(pub[0]),
+                             "pubkey_y": le(pub[1]), "msghash": le(m)})
+            t0 = time.time()
+            proofs = _api.generate_proofs_batch(reqs, params=params)
+            bt = time.time() - t0
+            assert len(proofs) == B and all(proofs)
+            ok = verify_proof(pk.vk, srs, proofs[-1], [])
+            assert ok, "batched proof failed verification"
+            batch_pps = B / bt
+            log(f"batch {B}: {bt:.1f}s wall -> {batch_pps:.4f} proofs/s "
+                f"(batch-1: {1.0/best:.4f})")
+        except Exception as e:  # noqa: BLE001
+            log(f"batch metric skipped: {e}")
+
     record = {
         "metric": f"ecdsa_p256_proof_time_k{k}",
         "value": round(best, 4),
@@ -176,6 +205,8 @@ def main():
     }
     if mpoints is not None:
         record["mpoints_per_s"] = round(mpoints, 3)
+    if batch_pps is not None:
+        record[f"proofs_per_s_batch{B}"] = round(batch_pps, 4)
     print(json.dumps(record), flush=True)
 
 

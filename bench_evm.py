@@ -25,6 +25,8 @@ def log(*a):
 
 
 def main():
+    scheme = os.environ.get("WH2_EVM_SCHEME", "shplonk")
+    sfx = "" if scheme == "gwc" else "_shplonk"
     from webauthn_halo2_tpu import api
     from webauthn_halo2_tpu.circuits.ecdsa_circuit import CircuitParams
     from webauthn_halo2_tpu.fields.constants import P256_N
@@ -40,23 +42,25 @@ def main():
 
     t0 = time.time()
     proof = api.generate_proof_evm(
-        le(r), le(s), le(pub[0]), le(pub[1]), le(m), params=params
+        le(r), le(s), le(pub[0]), le(pub[1]), le(m), params=params,
+        scheme=scheme,
     )
-    log(f"evm proof: {time.time()-t0:.1f}s, {len(proof)} bytes")
+    log(f"evm proof ({scheme}): {time.time()-t0:.1f}s, {len(proof)} bytes")
 
     t0 = time.time()
-    ok = api.verify_evm(proof, params=params)
+    ok = api.verify_evm(proof, params=params, scheme=scheme)
     log(f"host verify_evm: {ok} in {time.time()-t0:.1f}s")
     assert ok
 
     os.makedirs("results", exist_ok=True)
     t0 = time.time()
     gas = api.generate_verifier(
-        sol_code_path="results/P256Verifier.sol",
-        deploy_code_path="results/P256Verifier.code",
-        yul_code_path="results/P256Verifier.yul",
+        sol_code_path=f"results/P256Verifier{sfx}.sol",
+        deploy_code_path=f"results/P256Verifier{sfx}.code",
+        yul_code_path=f"results/P256Verifier{sfx}.yul",
         valid_proof_hex=proof.hex(),
         params=params,
+        scheme=scheme,
     )
     log(f"generate_verifier + bytecode dry-run: OK in {time.time()-t0:.1f}s; "
         f"verify gas = {gas} (reference validateUserOp avg 399,477 — "
@@ -65,7 +69,7 @@ def main():
     # tamper check through the interpreter
     from webauthn_halo2_tpu.evm.yul_interp import run_yul_verifier
 
-    yul = open("results/P256Verifier.yul").read()
+    yul = open(f"results/P256Verifier{sfx}.yul").read()
     bad = bytearray(proof)
     bad[len(bad) // 2] ^= 1
     assert not run_yul_verifier(yul, bytes(bad)), "tampered proof accepted!"
@@ -73,15 +77,23 @@ def main():
 
     # persist the proof so tests/test_chain_e2e.py's production fixture can
     # drive handleOps with the real circuit (t.sol's validSignature parity)
-    with open("results/proof_gwc_k17.hex", "w") as f:
+    with open(f"results/proof_{scheme}_k17.hex", "w") as f:
         f.write(proof.hex())
     import json as _json
 
-    with open("results/evm_gas.json", "w") as f:
-        _json.dump({"k": 17, "verify_gas": gas,
-                    "reference_validate_user_op_avg": 399_477}, f)
-    print('{"metric": "evm_verify_gas_k17", "value": %d, "unit": "gas", '
-          '"vs_baseline": %.3f}' % (gas, 399_477 / gas))
+    gp = "results/evm_gas.json"
+    rec = {}
+    if os.path.exists(gp):
+        rec = _json.load(open(gp))
+    rec.update({"k": 17, f"verify_gas_{scheme}": gas,
+                "proof_bytes_" + scheme: len(proof),
+                "reference_validate_user_op_avg": 399_477})
+    if scheme == "gwc":
+        rec["verify_gas"] = gas
+    with open(gp, "w") as f:
+        _json.dump(rec, f)
+    print('{"metric": "evm_verify_gas_k17_%s", "value": %d, "unit": "gas", '
+          '"vs_baseline": %.3f}' % (scheme, gas, 399_477 / gas))
 
 
 if __name__ == "__main__":

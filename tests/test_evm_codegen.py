@@ -114,3 +114,31 @@ def test_generated_verifier_with_public_inputs():
     assert not chain.call(0xBEEF, addr, calldata([42, 98], proof)).success
     # missing public inputs -> calldata misparse -> revert
     assert not chain.call(0xBEEF, addr, proof).success
+
+
+def test_generated_shplonk_verifier_dry_run_and_gas():
+    """SHPLONK+Keccak proof through the SHPLONK-form generated verifier:
+    accepted, tamper/truncation rejected, and ~half the GWC ecMul count
+    (VERDICT r4 #5 — the gas gap is GWC's per-query scalar muls)."""
+    cs = build_toy()
+    n = 1 << K
+    fixed, advice, copies = build_witness(cs, n)
+    srs = get_srs(K)
+    pk = keygen(srs, cs, fixed, copies)
+    proof = create_proof(pk, advice, [], scheme="shplonk",
+                         transcript=KeccakWrite())
+    assert verify_proof(pk.vk, srs, proof, [], scheme="shplonk",
+                        transcript=KeccakRead(proof))
+
+    yul, _sol = generate_verifier(pk.vk, srs, scheme="shplonk")
+    gwc_yul, _ = generate_verifier(pk.vk, srs)
+    assert yul.count("staticcall(gas(), 7,") < \
+        0.7 * gwc_yul.count("staticcall(gas(), 7,")
+    assert yul.count("staticcall(gas(), 5,") == 1  # ONE batched modexp
+    assert run_yul_verifier(yul, proof), \
+        "shplonk yul verifier rejected a valid proof"
+
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 1
+    assert not run_yul_verifier(yul, bytes(bad))
+    assert not run_yul_verifier(yul, proof[:-32])

@@ -105,3 +105,32 @@ def test_normalize_standard_form():
     for j, x in enumerate(xs):
         v = sum(int(arr[i, j]) << (8 * i) for i in range(33))
         assert v == 10 * x % spec.p
+
+
+def test_montmul_loop_mode_matches_unrolled():
+    """WH2_MONTMUL_LOOP=1 (rolled CIOS for the CPU dryrun's compile
+    budget) must be bit-identical to the unrolled form."""
+    import os
+    import secrets
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from webauthn_halo2_tpu.fields.limbs import FR_SPEC
+    from webauthn_halo2_tpu.ops import modops as M
+
+    a_ints = [secrets.randbelow(FR_SPEC.p) for _ in range(8)]
+    b_ints = [secrets.randbelow(FR_SPEC.p) for _ in range(8)]
+    a = jnp.asarray(FR_SPEC.encode(a_ints))
+    b = jnp.asarray(FR_SPEC.encode(b_ints))
+    base = np.asarray(M.montmul(FR_SPEC, a, b))
+    os.environ["WH2_MONTMUL_LOOP"] = "1"
+    try:
+        # separate trace: same jit signature would reuse the unrolled
+        # executable, so call through a fresh wrapper
+        looped = np.asarray(jax.jit(
+            lambda x, y: M.montmul.__wrapped__(FR_SPEC, x, y))(a, b))
+    finally:
+        os.environ.pop("WH2_MONTMUL_LOOP", None)
+    assert (base == looped).all()

@@ -101,8 +101,10 @@ def verify(proof: bytes, verifying_key_path: str = "",
 
 def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
                        msghash: bytes, proving_key_path: str = "",
-                       params: CircuitParams | None = None) -> bytes:
-    """GWC + Keccak(EVM) transcript proof (ecdsa_p256.rs:329-377)."""
+                       params: CircuitParams | None = None,
+                       scheme: str = "gwc") -> bytes:
+    """Keccak(EVM)-transcript proof: GWC (ecdsa_p256.rs:329-377 parity)
+    or SHPLONK (scheme="shplonk": ~half the on-chain ecMul gas)."""
     from .plonk.transcript import KeccakWrite
 
     params = params or _load_params(proving_key_path)
@@ -116,18 +118,19 @@ def generate_proof_evm(r: bytes, s: bytes, pubkey_x: bytes, pubkey_y: bytes,
     circuit = ECDSACircuit(params)
     advice = circuit.witness(inputs)
     return create_proof(pk, advice, circuit.public_inputs(inputs),
-                        scheme="gwc", transcript=KeccakWrite())
+                        scheme=scheme, transcript=KeccakWrite())
 
 
 def verify_evm(proof: bytes, verifying_key_path: str = "",
                params: CircuitParams | None = None,
-               public_inputs: list | None = None) -> bool:
+               public_inputs: list | None = None,
+               scheme: str = "gwc") -> bool:
     from .plonk.transcript import KeccakRead
 
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
     return verify_proof(pk.vk, pk.srs, proof, public_inputs or [],
-                        scheme="gwc", transcript=KeccakRead(proof))
+                        scheme=scheme, transcript=KeccakRead(proof))
 
 
 def generate_verifier(
@@ -137,6 +140,7 @@ def generate_verifier(
     yul_code_path: str = "verifier.yul",
     valid_proof_hex: str | None = None,
     params: CircuitParams | None = None,
+    scheme: str = "gwc",
 ) -> int | None:
     """EVM verifier codegen (ecdsa_p256.rs:275-327 / snark-verifier parity):
     writes .yul, .sol and .code artifacts. The .code file holds REAL deploy
@@ -154,7 +158,7 @@ def generate_verifier(
     params = params or _load_params(verifying_key_path)
     pk = _keys(params)
     num_public = (params.num_limbs if params.expose_msghash else 0)
-    yul, sol = _gen(pk.vk, pk.srs, num_public=num_public)
+    yul, sol = _gen(pk.vk, pk.srs, num_public=num_public, scheme=scheme)
     deploy, _runtime = compile_yul(yul)
     gas_used = None
     if valid_proof_hex:
@@ -211,18 +215,21 @@ def generate_proofs_batch(
         )
         return circuit.witness(inputs), circuit.public_inputs(inputs)
 
-    out: list[bytes] = []
-    # pipelined: witness generation (host CPU, ~1-3 s each) runs in a
-    # worker thread while the previous proof occupies the device — the
-    # phase graphs release the GIL during device execution, so the batch
-    # hides witness latency entirely after the first request
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        futs = [pool.submit(prep, r) for r in requests]
-        for fut in futs:
-            advice, instances = fut.result()
-            if scheme == "gwc":
-                out.append(create_proof(pk, advice, instances, scheme="gwc",
-                                        transcript=KeccakWrite()))
-            else:
-                out.append(create_proof(pk, advice, instances))
-    return out
+    # two-stage pipeline: witness generation (host CPU, ~1-3 s each) in
+    # one worker pool, and TWO concurrent create_proof workers — the
+    # device serializes their dispatches, so while proof i occupies the
+    # chip, proof i+1 runs its host segments (witness packing, lookup
+    # permutation sorts, transcript hashing). Proofs are independent;
+    # the compiled phase graphs are shared and thread-safe.
+    def prove(args):
+        advice, instances = args
+        if scheme == "gwc":
+            return create_proof(pk, advice, instances, scheme="gwc",
+                                transcript=KeccakWrite())
+        return create_proof(pk, advice, instances)
+
+    with ThreadPoolExecutor(max_workers=1) as wpool, \
+            ThreadPoolExecutor(max_workers=2) as ppool:
+        wfuts = [wpool.submit(prep, r) for r in requests]
+        pfuts = [ppool.submit(prove, f.result()) for f in wfuts]
+        return [f.result() for f in pfuts]

@@ -63,10 +63,13 @@ class VerifierCodegen:
     EC_ACC = 0x4100     # running ec accumulator (x, y)
     PAIR_IN = 0x4200    # pairing input (384 bytes)
 
-    def __init__(self, vk: VerifyingKey, srs, num_public: int = 0):
+    def __init__(self, vk: VerifyingKey, srs, num_public: int = 0,
+                 scheme: str = "gwc"):
         self.vk = vk
         self.srs = srs
         self.num_public = num_public  # public-input words before the proof
+        self.scheme = scheme  # "gwc" | "shplonk" (~33 fewer ecMuls: one
+        # scalar per DISTINCT commitment instead of one per query)
         self.e = Emitter()
         self.buf_len = 0  # current transcript buffer length (static)
         self.cd_off = 0   # calldata offset (static)
@@ -154,6 +157,334 @@ class VerifierCodegen:
         )
         return e.let(f"mload({_fmt(S)})")
 
+    def batch_inv(self, dens: list[str]) -> list[str]:
+        """Montgomery-trick batch inversion: ONE modexp staticcall for all
+        denominators (reference pattern: P256Verifier.yul:358) instead of
+        one per inversion."""
+        e = self.e
+        prefix = [dens[0]]
+        for d in dens[1:]:
+            prefix.append(e.mulf(prefix[-1], d))
+        acc = self.finv(prefix[-1])
+        invs: list[str | None] = [None] * len(dens)
+        for i in range(len(dens) - 1, 0, -1):
+            invs[i] = e.mulf(acc, prefix[i - 1])
+            acc = e.mulf(acc, dens[i])
+        invs[0] = acc
+        return invs  # type: ignore[return-value]
+
+    def _emit_constraints(self, evals, theta, beta, gamma, y_ch, x_ch,
+                          l0, llast, active) -> str:
+        """Gate + permutation + lookup constraints folded with y; returns
+        the quotient numerator (caller divides by Z_H)."""
+        e = self.e
+        cs = self.vk.cs
+        nchunks = cs.num_perm_chunks()
+        u = cs.usable_rows(self.vk.domain.n)
+
+        def get_var(kind, idx, rot):
+            return evals[((kind, idx), rot)]
+
+        constraints: list[str] = []
+        for _, g in cs.gates:
+            constraints.append(
+                g.eval(
+                    get_var,
+                    lambda c: _fmt(c % R),
+                    lambda a, b: e.addf(a, b),
+                    lambda a, b: e.mulf(a, b),
+                    lambda a, c: e.mulf(a, _fmt(c % R)),
+                )
+            )
+        chunk_len = cs.permutation_chunk_len()
+        if cs.perm_columns:
+            z0 = evals[(("perm_z", 0), 0)]
+            constraints.append(e.mulf(l0, e.subf("1", z0)))
+            zl = evals[(("perm_z", nchunks - 1), 0)]
+            constraints.append(e.mulf(llast, e.subf(e.mulf(zl, zl), zl)))
+            for i in range(1, nchunks):
+                zi = evals[(("perm_z", i), 0)]
+                zp = evals[(("perm_z", i - 1), u)]
+                constraints.append(e.mulf(l0, e.subf(zi, zp)))
+            for ci, cstart in enumerate(
+                range(0, len(cs.perm_columns), chunk_len)
+            ):
+                chunk = list(range(cstart, min(cstart + chunk_len,
+                                               len(cs.perm_columns))))
+                left = evals[(("perm_z", ci), 1)]
+                right = evals[(("perm_z", ci), 0)]
+                for j in chunk:
+                    kind, idx = cs.perm_columns[j]
+                    v = get_var(kind, idx, 0)
+                    sig = evals[(("sigma", j), 0)]
+                    dj = _fmt(pow(BN254_FR_DELTA, j, R))
+                    left = e.mulf(
+                        left, e.addf(e.addf(v, e.mulf(beta, sig)), gamma)
+                    )
+                    idterm = e.mulf(e.mulf(beta, dj), x_ch)
+                    right = e.mulf(right, e.addf(e.addf(v, idterm), gamma))
+                constraints.append(e.mulf(active, e.subf(left, right)))
+        for li, lk in enumerate(cs.lookups):
+            z = evals[(("lookup_z", li), 0)]
+            zn = evals[(("lookup_z", li), 1)]
+            ap = evals[(("lookup_ap", li), 0)]
+            app = evals[(("lookup_ap", li), -1)]
+            sp = evals[(("lookup_sp", li), 0)]
+
+            def comp(exprs):
+                acc = None
+                for ex in exprs:
+                    v = ex.eval(
+                        get_var,
+                        lambda c: _fmt(c % R),
+                        lambda a, b: e.addf(a, b),
+                        lambda a, b: e.mulf(a, b),
+                        lambda a, c: e.mulf(a, _fmt(c % R)),
+                    )
+                    acc = v if acc is None else e.addf(e.mulf(acc, theta), v)
+                return acc
+
+            a_c = comp(lk.inputs)
+            s_c = comp(lk.tables)
+            constraints.append(e.mulf(l0, e.subf("1", z)))
+            constraints.append(e.mulf(llast, e.subf(e.mulf(z, z), z)))
+            lhs = e.mulf(e.mulf(zn, e.addf(ap, beta)), e.addf(sp, gamma))
+            rhs = e.mulf(e.mulf(z, e.addf(a_c, beta)), e.addf(s_c, gamma))
+            constraints.append(e.mulf(active, e.subf(lhs, rhs)))
+            constraints.append(
+                e.mulf(e.mulf(active, e.subf(ap, sp)), e.subf(ap, app))
+            )
+            constraints.append(e.mulf(l0, e.subf(ap, sp)))
+
+        h_num = "0"
+        for c in constraints:
+            h_num = e.addf(e.mulf(h_num, y_ch), c)
+        return h_num
+
+    def _tail_shplonk(self, evals, order, advice, lk_perm, perm_z, lk_z,
+                      random_c, h_coms, c_inst, theta, beta, gamma,
+                      y_ch, x_ch) -> str:
+        """SHPLONK (BDFG20) verification tail — mirrors
+        plonk/verifier.py's shplonk branch. One ecMul per DISTINCT
+        commitment (vs one per query in GWC) and a single batch-inverted
+        modexp for every inversion."""
+        vk = self.vk
+        cs = vk.cs
+        e = self.e
+        domain = vk.domain
+        n = domain.n
+        u = cs.usable_rows(n)
+        omega = domain.omega
+        nchunks = cs.num_perm_chunks()
+
+        # remaining transcript: y2, v, C_H, u_pt, W
+        y2 = self.squeeze()
+        v_ch = self.squeeze()
+        h_open = self.read_point()
+        u_ch = self.squeeze()
+        w_com = self.read_point()
+        e.line(f"if iszero(eq(calldatasize(), {_fmt(self.cd_off)}))"
+               " { revert(0, 0) }")
+
+        # xn, zh
+        xn = x_ch
+        for _ in range(domain.k):
+            xn = e.mulf(xn, xn)
+        zh = e.subf(xn, "1")
+        e.line(f"if iszero({zh}) {{ revert(0, 0) }}")
+
+        # rotation-set structure (host bookkeeping, matches the prover)
+        by_poly: list = []
+        seen: dict = {}
+        queries = [(lbl, rot, evals[(lbl, rot)]) for lbl, rot in order]
+        # h is opened at rot 0 with the (not yet emitted) expected eval
+        for label, rot, ev in queries:
+            if label not in seen:
+                seen[label] = len(by_poly)
+                by_poly.append((label, {}))
+            by_poly[seen[label]][1][rot] = ev
+        sets: dict[tuple, list] = {}
+        h_key = ("h",)
+        by_poly.append((h_key, {0: None}))  # eval filled in below
+        seen[h_key] = len(by_poly) - 1
+        for label, rmap in by_poly:
+            rkey = tuple(sorted(rmap.keys()))
+            sets.setdefault(rkey, []).append((label, rmap))
+        set_list = sorted(sets.items(), key=lambda kv: kv[0])
+
+        # symbolic rotation points and all denominators
+        all_rots = sorted({r for rkey, _ in set_list for r in rkey})
+        pt_expr: dict[int, str] = {}
+        for r in all_rots:
+            if r >= 0:
+                pt_expr[r] = e.mulf(x_ch, _fmt(pow(omega, r, R)))
+            else:
+                pt_expr[r] = e.mulf(
+                    x_ch, _fmt(pow(pow(omega, -r, R), R - 2, R)))
+
+        lag_rows = [0, u] + list(range(u + 1, n))
+        dens: list[str] = [zh]
+        for i in lag_rows:
+            dens.append(e.subf(x_ch, _fmt(pow(omega, i, R))))
+        upt: dict[int, str] = {}
+        for r in all_rots:
+            upt[r] = e.subf(u_ch, pt_expr[r])
+            dens.append(upt[r])
+        # pairwise denominators for the barycentric r_s(u) terms
+        pair_dens: dict[tuple, str] = {}  # (set_idx, i) -> prod expr
+        for s_i, (rkey, _polys) in enumerate(set_list):
+            if len(rkey) == 1:
+                continue
+            for i, ri in enumerate(rkey):
+                prod = None
+                for j, rj in enumerate(rkey):
+                    if i == j:
+                        continue
+                    d = e.subf(pt_expr[ri], pt_expr[rj])
+                    prod = d if prod is None else e.mulf(prod, d)
+                pair_dens[(s_i, i)] = prod
+                dens.append(prod)
+
+        invs = self.batch_inv(dens)
+        inv_of = dict(zip(dens, invs))
+        zh_inv = invs[0]
+
+        # Lagrange values + gate/permutation/lookup constraint fold
+        ninv = _fmt(pow(n, -1, R))
+
+        def lagrange_at(i: int, den_expr: str) -> str:
+            wi = _fmt(pow(omega, i, R))
+            num = e.mulf(wi, zh)
+            return e.mulf(num, e.mulf(ninv, inv_of[den_expr]))
+
+        l0 = lagrange_at(0, dens[1])
+        llast = lagrange_at(u, dens[2])
+        lblind = "0"
+        for k_i, i in enumerate(range(u + 1, n)):
+            lblind = e.addf(lblind, lagrange_at(i, dens[3 + k_i]))
+        active = e.subf(e.subf("1", llast), lblind)
+
+        h_num = self._emit_constraints(evals, theta, beta, gamma, y_ch,
+                                       x_ch, l0, llast, active)
+        h_exp = e.mulf(h_num, zh_inv)
+        for label, rmap in by_poly:
+            if label == h_key:
+                rmap[0] = h_exp
+
+        # commitment map
+        com_map: dict = {}
+        for i in range(cs.num_advice):
+            com_map[(CS.ADVICE, i)] = advice[i]
+        for i in range(cs.num_fixed):
+            fx = vk.fixed_commitments[i]
+            com_map[(CS.FIXED, i)] = (
+                _fmt(fx[0] if fx else 0), _fmt(fx[1] if fx else 0)
+            )
+        com_map[("random",)] = random_c
+        if self.num_public:
+            com_map[(CS.INSTANCE, 0)] = c_inst
+        for j in range(len(cs.perm_columns)):
+            pc = vk.perm_commitments[j]
+            com_map[("sigma", j)] = (_fmt(pc[0]), _fmt(pc[1]))
+        for i in range(nchunks):
+            com_map[("perm_z", i)] = perm_z[i]
+        for li in range(len(cs.lookups)):
+            com_map[("lookup_z", li)] = lk_z[li]
+            com_map[("lookup_ap", li)] = lk_perm[li][0]
+            com_map[("lookup_sp", li)] = lk_perm[li][1]
+        # folded quotient commitment sum x^(n i) h_i
+        xn_pow = "1"
+        h_com = None
+        for i, hc in enumerate(h_coms):
+            term = self.ec_mul(hc, xn_pow) if i else hc
+            h_com = term if h_com is None else self.ec_add(h_com, term)
+            xn_pow = e.mulf(xn_pow, xn)
+        com_map[h_key] = h_com
+
+        # Z_T(u) over all distinct points
+        z_t_u = None
+        for r in all_rots:
+            z_t_u = upt[r] if z_t_u is None else e.mulf(z_t_u, upt[r])
+
+        # y2 powers per set
+        S = len(set_list)
+        y2_pows = []
+        for s_i in range(S):
+            y2_pows.append(_pow_sym(e, y2, S - 1 - s_i))
+
+        # accumulate sum_s y2^pow scale_s (F_s - r_s(u) G1) - Z_T(u) C_H
+        # + u W  as one running ec accumulator
+        acc_pt = None
+        g1_scalar = "0"
+        for s_i, (rkey, polys) in enumerate(set_list):
+            # scale_s = Z_T(u) / Z_S(u) = Z_T(u) * prod inv(u - pt)
+            scale = z_t_u
+            for r in rkey:
+                scale = e.mulf(scale, inv_of[upt[r]])
+            coef_base = e.mulf(y2_pows[s_i], scale)
+            npolys = len(polys)
+            # z_s_u = prod (u - pt) over the set (for barycentric r_s(u))
+            z_s_u = None
+            for r in rkey:
+                z_s_u = upt[r] if z_s_u is None else e.mulf(z_s_u, upt[r])
+            for p_i, (label, rmap) in enumerate(polys):
+                vpow = _pow_sym(e, v_ch, npolys - 1 - p_i)
+                coef = e.mulf(coef_base, vpow) if vpow != "1" else coef_base
+                term = self.ec_mul(com_map[label], coef)
+                acc_pt = term if acc_pt is None else self.ec_add(acc_pt, term)
+            # r_s(u) = sum_i ev_i * (z_s_u * inv(u - pt_i)) * inv(d_i)
+            r_u = "0"
+            for i, r in enumerate(rkey):
+                ev_acc = None
+                for label, rmap in polys:
+                    evx = rmap[r]
+                    ev_acc = evx if ev_acc is None else \
+                        e.addf(e.mulf(ev_acc, v_ch), evx)
+                term = e.mulf(z_s_u, inv_of[upt[r]])
+                if len(rkey) > 1:
+                    term = e.mulf(term, inv_of[pair_dens[(s_i, i)]])
+                r_u = e.addf(r_u, e.mulf(ev_acc, term))
+            g1_scalar = e.subf(g1_scalar, e.mulf(coef_base, r_u))
+
+        # - Z_T(u) C_H
+        term = self.ec_mul(h_open, e.subf("0", z_t_u))
+        acc_pt = self.ec_add(acc_pt, term)
+        # + g1_scalar * G1
+        term = self.ec_mul((_fmt(1), _fmt(2)), g1_scalar)
+        acc_pt = self.ec_add(acc_pt, term)
+        # + u * W
+        term = self.ec_mul(w_com, u_ch)
+        acc_pt = self.ec_add(acc_pt, term)
+
+        # pairing: e(acc, G2) * e(-W, sG2) == 1
+        g2 = self.srs.g2
+        sg2 = self.srs.s_g2
+        P = self.PAIR_IN
+        pairs = [
+            (acc_pt, g2),
+            ((w_com[0], e.let(f"sub(Q_MOD, {w_com[1]})")), sg2),
+        ]
+        for pi, (g1pt, g2pt) in enumerate(pairs):
+            base = P + pi * 192
+            e.line(f"mstore({_fmt(base)}, {g1pt[0]})")
+            e.line(f"mstore({_fmt(base + 32)}, {g1pt[1]})")
+            (x0, x1), (y0, y1) = g2pt
+            e.line(f"mstore({_fmt(base + 64)}, {_fmt(x1)})")
+            e.line(f"mstore({_fmt(base + 96)}, {_fmt(x0)})")
+            e.line(f"mstore({_fmt(base + 128)}, {_fmt(y1)})")
+            e.line(f"mstore({_fmt(base + 160)}, {_fmt(y0)})")
+        e.line(
+            f"if iszero(staticcall(gas(), 8, {_fmt(P)}, 384, {_fmt(P)}, 32))"
+            " { revert(0, 0) }"
+        )
+        e.line(f"if iszero(mload({_fmt(P)})) {{ revert(0, 0) }}")
+        e.line("return(0, 0)")
+
+        body = "\n            ".join(self.e.lines)
+        return YUL_TEMPLATE.format(
+            r_mod=_fmt(R), q_mod=_fmt(Q), body=body
+        )
+
     # --- the full procedure ----------------------------------------------
     def generate(self) -> str:
         vk = self.vk
@@ -233,6 +564,11 @@ class VerifierCodegen:
             rd(("lookup_ap", li), -1)
             rd(("lookup_sp", li), 0)
 
+        if self.scheme == "shplonk":
+            return self._tail_shplonk(
+                evals, order, advice, lk_perm, perm_z, lk_z, random_c,
+                h_coms, c_inst, theta, beta, gamma, y_ch, x_ch)
+
         # --- expected quotient eval ---
         xn = x_ch
         for _ in range(domain.k):
@@ -255,84 +591,9 @@ class VerifierCodegen:
             lblind = e.addf(lblind, lagrange_at(i))
         active = e.subf(e.subf("1", llast), lblind)
 
-        def get_var(kind, idx, rot):
-            return evals[((kind, idx), rot)]
-
-        constraints: list[str] = []
-        for _, g in cs.gates:
-            constraints.append(
-                g.eval(
-                    get_var,
-                    lambda c: _fmt(c % R),
-                    lambda a, b: e.addf(a, b),
-                    lambda a, b: e.mulf(a, b),
-                    lambda a, c: e.mulf(a, _fmt(c % R)),
-                )
-            )
-        chunk_len = cs.permutation_chunk_len()
-        if cs.perm_columns:
-            z0 = evals[(("perm_z", 0), 0)]
-            constraints.append(e.mulf(l0, e.subf("1", z0)))
-            zl = evals[(("perm_z", nchunks - 1), 0)]
-            constraints.append(e.mulf(llast, e.subf(e.mulf(zl, zl), zl)))
-            for i in range(1, nchunks):
-                zi = evals[(("perm_z", i), 0)]
-                zp = evals[(("perm_z", i - 1), u)]
-                constraints.append(e.mulf(l0, e.subf(zi, zp)))
-            for ci, cstart in enumerate(
-                range(0, len(cs.perm_columns), chunk_len)
-            ):
-                chunk = list(range(cstart, min(cstart + chunk_len,
-                                               len(cs.perm_columns))))
-                left = evals[(("perm_z", ci), 1)]
-                right = evals[(("perm_z", ci), 0)]
-                for j in chunk:
-                    kind, idx = cs.perm_columns[j]
-                    v = get_var(kind, idx, 0)
-                    sig = evals[(("sigma", j), 0)]
-                    dj = _fmt(pow(BN254_FR_DELTA, j, R))
-                    left = e.mulf(
-                        left, e.addf(e.addf(v, e.mulf(beta, sig)), gamma)
-                    )
-                    idterm = e.mulf(e.mulf(beta, dj), x_ch)
-                    right = e.mulf(right, e.addf(e.addf(v, idterm), gamma))
-                constraints.append(e.mulf(active, e.subf(left, right)))
-        for li, lk in enumerate(cs.lookups):
-            z = evals[(("lookup_z", li), 0)]
-            zn = evals[(("lookup_z", li), 1)]
-            ap = evals[(("lookup_ap", li), 0)]
-            app = evals[(("lookup_ap", li), -1)]
-            sp = evals[(("lookup_sp", li), 0)]
-
-            def comp(exprs):
-                acc = None
-                for ex in exprs:
-                    v = ex.eval(
-                        get_var,
-                        lambda c: _fmt(c % R),
-                        lambda a, b: e.addf(a, b),
-                        lambda a, b: e.mulf(a, b),
-                        lambda a, c: e.mulf(a, _fmt(c % R)),
-                    )
-                    acc = v if acc is None else e.addf(e.mulf(acc, theta), v)
-                return acc
-
-            a_c = comp(lk.inputs)
-            s_c = comp(lk.tables)
-            constraints.append(e.mulf(l0, e.subf("1", z)))
-            constraints.append(e.mulf(llast, e.subf(e.mulf(z, z), z)))
-            lhs = e.mulf(e.mulf(zn, e.addf(ap, beta)), e.addf(sp, gamma))
-            rhs = e.mulf(e.mulf(z, e.addf(a_c, beta)), e.addf(s_c, gamma))
-            constraints.append(e.mulf(active, e.subf(lhs, rhs)))
-            constraints.append(
-                e.mulf(e.mulf(active, e.subf(ap, sp)), e.subf(ap, app))
-            )
-            constraints.append(e.mulf(l0, e.subf(ap, sp)))
-
-        h_exp = "0"
-        for c in constraints:
-            h_exp = e.addf(e.mulf(h_exp, y_ch), c)
-        h_exp = e.mulf(h_exp, self.finv(zh))
+        h_num = self._emit_constraints(evals, theta, beta, gamma, y_ch,
+                                       x_ch, l0, llast, active)
+        h_exp = e.mulf(h_num, self.finv(zh))
 
         # h commitment fold: sum x^(n*i) h_i
         xn_pow = "1"
@@ -493,12 +754,14 @@ contract Verifier {{
 """
 
 
-def generate_verifier(vk: VerifyingKey, srs,
-                      num_public: int = 0) -> tuple[str, str]:
+def generate_verifier(vk: VerifyingKey, srs, num_public: int = 0,
+                      scheme: str = "gwc") -> tuple[str, str]:
     """Returns (yul_source, solidity_source). With num_public > 0, the
     verifier expects calldata = num_public 32-byte public-input words
-    followed by the proof, and binds them on chain."""
-    gen = VerifierCodegen(vk, srs, num_public)
+    followed by the proof, and binds them on chain. scheme="shplonk"
+    verifies SHPLONK+Keccak proofs with ~half the ecMul precompile calls
+    of the GWC form (one scalar per distinct commitment)."""
+    gen = VerifierCodegen(vk, srs, num_public, scheme)
     yul = gen.generate()
     asm_body = "\n".join(
         "            " + ln

@@ -130,13 +130,26 @@ def montmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return out.reshape(a.shape)
     p_l = _bc(spec.p_limbs, a.ndim)
     acc = jnp.zeros_like(b)
-    for i in range(L):
+
+    def step(i, acc):
         acc = acc + a[i] * b
         m = ((acc[0] & MASK) * spec.pinv8) & MASK
         acc = acc + m * p_l
         carry = acc[0] >> B
         acc = jnp.concatenate([acc[1:], jnp.zeros_like(acc[:1])], axis=0)
-        acc = acc.at[0].add(carry)
+        return acc.at[0].add(carry)
+
+    import os
+
+    if os.environ.get("WH2_MONTMUL_LOOP", "0") == "1":
+        # rolled CIOS (fori_loop): identical math, ~30x smaller XLA
+        # graphs. Used by the CPU multichip dryrun, where every
+        # montmul-heavy graph otherwise costs minutes of XLA:CPU compile
+        # (the unrolled form is what the TPU path wants).
+        acc = jax.lax.fori_loop(0, L, step, acc)
+    else:
+        for i in range(L):
+            acc = step(i, acc)
     # 3 rounds: 2^29-lazy limbs -> <= 255 + 2^5, so chained montmuls and
     # sums of up to 16 outputs stay int32-safe.
     return carry_round(carry_round(carry_round(acc)))

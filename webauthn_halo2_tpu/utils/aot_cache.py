@@ -92,6 +92,10 @@ def aot_wrap(name: str, jitted_fn, static_argnums: tuple = ()):
                 compiled = deserialize_and_load(payload, in_tree, out_tree)
                 _MEM[key] = compiled
                 _log(f"{key}: loaded in {time.time()-t0:.1f}s")
+                try:  # mark as recently-used for scripts/gc_aot.py
+                    os.utime(path)
+                except OSError:
+                    pass
                 return compiled(*dyn)
             except Exception as e:  # stale/incompatible: recompile
                 _log(f"{key}: load failed ({e}); recompiling")

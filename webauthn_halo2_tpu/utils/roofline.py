@@ -18,10 +18,25 @@ with lazy reduction. Per proof at degree k (n = 2^k rows):
     + one batch inversion (~3 montmul/row) per chunk
   * quotient: |gates| montmul-equivalents per extended row
 
-v5e peak (public figure): 394 TOPS int8; the VPU int32 path this code
-uses is ~1/4 of that lane width -> ~25 Tint32op/s is the practical
-ceiling used here (conservative; stated explicitly so the denominator
-is auditable).
+v5e peak (public figure): 394 TOPS int8 — an MXU figure. Round-5
+measurements (scripts/probe_mxu.py, scripts/bench_mxu.py, on-chip)
+replaced the speculative 25 T int32-op VPU ceiling used through round 4
+with observed numbers:
+
+  * raw int8 MXU matmul sustains ~119 TOPS at (4096^3); the
+    eval-domain int8 montmul built on it (ops/mxu_mod.py) reaches only
+    42.9 Mmontmul/s because the per-point mod-q glue exceeds the CIOS
+    op budget — the MXU does not serve pairwise bigint products;
+  * the tuned VPU/Pallas CIOS montmul sustains 73.3 Mmontmul/s at
+    width 2^17 (chained, anchored) = 1.6e11 int32 MAC/s — int32
+    multiply is emulated on the VPU, so this IS the practical chip
+    ceiling for pairwise modmul (f32 FMA and int16 paths measured
+    within ~2x, all HBM- or emulation-bound);
+  * elementwise int32/f32 chains are HBM-bound at ~33 G elem/s.
+
+The MEASURED_MONTMUL_PER_S constant below is therefore the honest
+speed-of-light denominator: one 2^17 MSM costs ~2.1e7 montmuls -> a
+~290 ms floor, and the measured 371 ms MSM runs at ~78% of it.
 """
 from __future__ import annotations
 
@@ -32,8 +47,22 @@ MONTMUL_OPS = 2 * L * L  # int32 mul-adds per Montgomery multiply (CIOS)
 ADD_OPS = L
 JAC_ADD_MONTMULS = 12  # add_unsafe: 12 montmuls per point add
 
-# conservative practical int32-op ceiling for one v5e chip (see module doc)
+# conservative practical int32-op ceiling for one v5e chip, kept for the
+# historical SoL table denominators (see module doc for why it is ~150x
+# above what int32-multiply workloads can actually reach)
 V5E_INT32_OPS = 25e12
+
+# measured chip ceilings (round 5, scripts/bench_mxu.py + probes)
+MEASURED_MONTMUL_PER_S = 73.3e6   # chained Pallas CIOS, width 2^17
+MEASURED_INT8_MXU_TOPS = 118.6    # raw (4096^3) int8 matmul
+MEASURED_HBM_ELEM_PER_S = 33.2e9  # elementwise int32/f32 chain
+
+
+def montmul_sol(montmuls: float, seconds: float) -> float:
+    """Fraction of the MEASURED montmul ceiling a phase achieved."""
+    if seconds <= 0:
+        return 0.0
+    return montmuls / (seconds * MEASURED_MONTMUL_PER_S)
 
 
 @dataclass
