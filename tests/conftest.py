@@ -9,6 +9,11 @@ benchmarking happens only in bench.py.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# rolled-CIOS montmul (identical math, ~30x smaller XLA graphs): XLA:CPU
+# compile time dominates the suite; the loop-vs-unrolled equivalence is
+# itself covered by test_modops.test_montmul_loop_mode_matches_unrolled,
+# which clears the flag to trace the unrolled form.
+os.environ.setdefault("WH2_MONTMUL_LOOP", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -375,3 +375,54 @@ def test_production_circuit_user_op():
     bad = _user_op(chain, suite, account, b"\x00" * len(proof))
     res = _handle_ops(chain, suite, [bad])
     assert not res.success  # AA24 via FailedOp revert
+
+
+def test_handle_aggregated_ops(world):
+    """handleAggregatedOps parity (core/EntryPoint.sol:228 +
+    interfaces/IAggregator.sol): the aggregator's validateSignatures runs
+    per group before the ops execute; a bad aggregated signature fails
+    the whole bundle with AA96."""
+    chain, suite, proof = world
+    agg_deploy, _ = contracts.compile_mock_aggregator()
+    agg, res = chain.create(RICHARD, agg_deploy)
+    assert res.success
+
+    account = _create_account(chain, suite)
+    _fund_deposit(chain, suite, account, 10 * ETH)
+    ops = [_user_op(chain, suite, account, proof)]
+    magic = contracts.AGGREGATOR_MAGIC.to_bytes(32, "big")
+    start = _counter_value(chain, suite)
+
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_handle_aggregated_ops([(ops, agg, magic)],
+                                                 BENEFICIARY))
+    assert res.success, f"handleAggregatedOps reverted: {res.output.hex()[:100]}"
+    assert _counter_value(chain, suite) == start + 1
+    # the aggregator's validateSignatures actually ran (its group counter)
+    assert _word(_call(chain, RICHARD, agg,
+                       selector("number()").to_bytes(4, "big"))) == 1
+
+    # second bundle with TWO ops in one group (fresh nonces)
+    ops2 = [_user_op(chain, suite, account, proof)]
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_handle_aggregated_ops([(ops2, agg, magic)],
+                                                 BENEFICIARY))
+    assert res.success
+    assert _counter_value(chain, suite) == start + 2
+
+    # bad aggregated signature -> AA96, nothing executes
+    ops3 = [_user_op(chain, suite, account, proof)]
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_handle_aggregated_ops(
+                    [(ops3, agg, b"\x00" * 32)], BENEFICIARY))
+    assert not res.success
+    assert b"AA96" in res.output, res.output.hex()
+    assert _counter_value(chain, suite) == start + 2
+
+    # aggregator = 0 group behaves like plain handleOps
+    ops4 = [_user_op(chain, suite, account, proof)]
+    res = _call(chain, RICHARD, suite["entry_point"],
+                abi.encode_handle_aggregated_ops([(ops4, 0, b"")],
+                                                 BENEFICIARY))
+    assert res.success
+    assert _counter_value(chain, suite) == start + 3

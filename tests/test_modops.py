@@ -124,13 +124,16 @@ def test_montmul_loop_mode_matches_unrolled():
     b_ints = [secrets.randbelow(FR_SPEC.p) for _ in range(8)]
     a = jnp.asarray(FR_SPEC.encode(a_ints))
     b = jnp.asarray(FR_SPEC.encode(b_ints))
-    base = np.asarray(M.montmul(FR_SPEC, a, b))
+    looped_env = os.environ.get("WH2_MONTMUL_LOOP")
     os.environ["WH2_MONTMUL_LOOP"] = "1"
     try:
-        # separate trace: same jit signature would reuse the unrolled
-        # executable, so call through a fresh wrapper
-        looped = np.asarray(jax.jit(
+        base = np.asarray(M.montmul(FR_SPEC, a, b))
+        # separate trace of the UNROLLED form (fresh wrapper: the same
+        # jit signature would reuse the first executable)
+        os.environ.pop("WH2_MONTMUL_LOOP", None)
+        unrolled = np.asarray(jax.jit(
             lambda x, y: M.montmul.__wrapped__(FR_SPEC, x, y))(a, b))
     finally:
-        os.environ.pop("WH2_MONTMUL_LOOP", None)
-    assert (base == looped).all()
+        if looped_env is not None:
+            os.environ["WH2_MONTMUL_LOOP"] = looped_env
+    assert (base == unrolled).all()

@@ -104,6 +104,46 @@ def encode_handle_ops(ops: list[UserOperation], beneficiary: int) -> bytes:
     return sel.to_bytes(4, "big") + _w(0x40) + _w(beneficiary) + arr
 
 
+def encode_ops_array(ops: list["UserOperation"]) -> bytes:
+    """ABI bytes of a UserOperation[] (length + element offsets + tails)."""
+    structs = [op.encode_struct() for op in ops]
+    off = 32 * len(ops)
+    offs = []
+    for s in structs:
+        offs.append(off)
+        off += len(s)
+    return _w(len(ops)) + b"".join(_w(o) for o in offs) + b"".join(structs)
+
+
+def encode_handle_aggregated_ops(
+        groups: list[tuple[list["UserOperation"], int, bytes]],
+        beneficiary: int) -> bytes:
+    """calldata for EntryPoint.handleAggregatedOps(
+    (UserOperation[] userOps, address aggregator, bytes signature)[],
+    address beneficiary) — core/EntryPoint.sol:228 /
+    interfaces/IAggregator.sol parity."""
+    sel = selector(
+        "handleAggregatedOps(((address,uint256,bytes,bytes,uint256,uint256,"
+        "uint256,uint256,uint256,bytes,bytes)[],address,bytes)[],address)"
+    )
+    g_structs = []
+    for ops, aggregator, sig in groups:
+        arr = encode_ops_array(ops)
+        # struct head: ops offset, aggregator, signature offset; tails in
+        # field order (ops array then signature — the EntryPoint's
+        # calldata-rebuild for validateSignatures relies on this layout)
+        head = _w(0x60) + _w(aggregator) + _w(0x60 + len(arr))
+        g_structs.append(head + arr + encode_bytes(sig))
+    off = 32 * len(groups)
+    offs = []
+    for s in g_structs:
+        offs.append(off)
+        off += len(s)
+    arr = (_w(len(groups)) + b"".join(_w(o) for o in offs)
+           + b"".join(g_structs))
+    return sel.to_bytes(4, "big") + _w(0x40) + _w(beneficiary) + arr
+
+
 def encode_simulate_validation(op: "UserOperation") -> bytes:
     """calldata for EntryPoint.simulateValidation(UserOperation)
     (core/EntryPoint.sol:503 — always reverts with ValidationResult or

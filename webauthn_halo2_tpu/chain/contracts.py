@@ -14,8 +14,10 @@ Behavioral parity notes (file:line cites into /root/reference):
   validation + deposit charge, execution with callGasLimit, deposit
   refund, UserOperationEvent, beneficiary compensation
   (core/EntryPoint.sol:92,228; StakeManager deposits; NonceManager).
-  The bundler-only simulation entry points (simulateValidation) and the
-  aggregator path are not needed by any reference flow and are omitted.
+  simulateValidation (always-revert ValidationResult) and the
+  aggregator path (handleAggregatedOps + IAggregator.validateSignatures,
+  core/EntryPoint.sol:228, interfaces/IAggregator.sol) are implemented
+  in the same lite style.
 * P256Account: initialize(entryPoint, publicKey, snarkVerifier) once;
   setters gated to the entrypoint; inherit() dead-man switch transfers
   the balance after inactivity (P256Account.sol:32-71);
@@ -52,6 +54,10 @@ SENDER_ADDRESS_RESULT_SELECTOR = selector("SenderAddressResult(address)")
 VALIDATION_RESULT_SELECTOR = selector(
     "ValidationResult((uint256,uint256,bool,uint48,uint48,bytes),"
     "(uint256,uint256),(uint256,uint256),(uint256,uint256))")
+# IAggregator.validateSignatures (interfaces/IAggregator.sol:1-36)
+VALIDATE_SIGNATURES_SELECTOR = selector(
+    "validateSignatures((address,uint256,bytes,bytes,uint256,uint256,"
+    "uint256,uint256,uint256,bytes,bytes)[],bytes)")
 
 
 def _fail(i_expr: str, msg: str) -> str:
@@ -184,22 +190,10 @@ function callValidatePaymaster(op, hash, maxCost, pm, gaslim) -> vd, ok {{
     if lt(returndatasize(), 64) {{ vd := 1 }}
 }}
 
-// ---- dispatcher ----
-if iszero(calldatasize()) {{
-    // receive(): credit the caller's deposit (StakeManager receive parity)
-    let ds := depositSlot(caller())
-    sstore(ds, add(sload(ds), callvalue()))
-    stop()
-}}
-switch shr(224, calldataload(0))
-case 0x1fad948c {{ // handleOps(UserOperation[],address)
-    let opsBase := add(4, calldataload(4))
-    let beneficiary := calldataload(36)
-    let nOps := calldataload(opsBase)
-    let collected := 0
-    for {{ let i := 0 }} lt(i, nOps) {{ i := add(i, 1) }} {{
-        let op := add(add(opsBase, 32),
-                      calldataload(add(add(opsBase, 32), mul(i, 32))))
+function runOp(i, op) -> cost {{
+        // one UserOperation: validate (account/paymaster) + execute +
+        // gas accounting (the shared body of handleOps and
+        // handleAggregatedOps; innerHandleOp parity)
         let sender := calldataload(op)
         let g0 := gas()
         if iszero(extcodesize(sender)) {{ createSender(i, op) }}
@@ -255,17 +249,83 @@ case 0x1fad948c {{ // handleOps(UserOperation[],address)
         let pb := add(calldataload(add(op, 256)), basefee())
         if lt(pb, gasPrice) {{ gasPrice := pb }}
         let actualGas := add(sub(g0, gas()), pvg)
-        let cost := mul(actualGas, gasPrice)
+        cost := mul(actualGas, gasPrice)
         if gt(cost, prefund) {{ cost := prefund }}
         let rs := depositSlot(payer)
         sstore(rs, add(sload(rs), sub(prefund, cost)))
-        collected := add(collected, cost)
         mstore(0x100, nonce)
         mstore(0x120, execOk)
         mstore(0x140, cost)
         mstore(0x160, actualGas)
         log4(0x100, 0x80, 0x{USER_OPERATION_EVENT_TOPIC:064x},
              hash, sender, pm)
+}}
+
+// ---- dispatcher ----
+if iszero(calldatasize()) {{
+    // receive(): credit the caller's deposit (StakeManager receive parity)
+    let ds := depositSlot(caller())
+    sstore(ds, add(sload(ds), callvalue()))
+    stop()
+}}
+switch shr(224, calldataload(0))
+case 0x1fad948c {{ // handleOps(UserOperation[],address)
+    let opsBase := add(4, calldataload(4))
+    let beneficiary := calldataload(36)
+    let nOps := calldataload(opsBase)
+    let collected := 0
+    for {{ let i := 0 }} lt(i, nOps) {{ i := add(i, 1) }} {{
+        let op := add(add(opsBase, 32),
+                      calldataload(add(add(opsBase, 32), mul(i, 32))))
+        collected := add(collected, runOp(i, op))
+    }}
+    if iszero(call(gas(), beneficiary, collected, 0, 0, 0, 0)) {{
+        revert(0, 0)
+    }}
+    stop()
+}}
+case 0x4b1d7cf5 {{ // handleAggregatedOps(UserOpsPerAggregator[],address)
+    // v0.6 aggregated path (core/EntryPoint.sol:228): per group, the
+    // aggregator's validateSignatures(ops, signature) must succeed
+    // before the ops are processed like handleOps. Lite deviations from
+    // upstream are the same as handleOps' (no 1-address unstaked check).
+    let groupsBase := add(4, calldataload(4))
+    let beneficiary := calldataload(36)
+    let nGroups := calldataload(groupsBase)
+    let collected := 0
+    let opIdx := 0
+    for {{ let g := 0 }} lt(g, nGroups) {{ g := add(g, 1) }} {{
+        let grp := add(add(groupsBase, 32),
+                       calldataload(add(add(groupsBase, 32), mul(g, 32))))
+        let agg := calldataload(add(grp, 32))
+        let opsPtr := add(grp, calldataload(grp))
+        if agg {{
+            // rebuild validateSignatures(UserOperation[],bytes) calldata:
+            // the ops-array bytes are position-independent (offsets are
+            // array-relative), so they copy verbatim; canonical ABI
+            // encoders lay the signature tail directly after it.
+            let sigPtr := add(grp, calldataload(add(grp, 64)))
+            let opsLen := sub(sigPtr, opsPtr)
+            let sigLen := calldataload(sigPtr)
+            let M := 0x20000
+            mstore(M, shl(224, 0x{VALIDATE_SIGNATURES_SELECTOR:08x}))
+            mstore(add(M, 4), 0x40)
+            mstore(add(M, 36), add(0x40, opsLen))
+            calldatacopy(add(M, 68), opsPtr, opsLen)
+            calldatacopy(add(M, add(68, opsLen)), sigPtr,
+                         add(32, ceil32(sigLen)))
+            let alen := add(add(68, opsLen), add(32, ceil32(sigLen)))
+            if iszero(call(gas(), agg, 0, M, alen, 0, 0)) {{
+                {_fail("opIdx", "AA96 invalid aggregator")}
+            }}
+        }}
+        let nOps := calldataload(opsPtr)
+        for {{ let j := 0 }} lt(j, nOps) {{ j := add(j, 1) }} {{
+            let op := add(add(opsPtr, 32),
+                          calldataload(add(add(opsPtr, 32), mul(j, 32))))
+            collected := add(collected, runOp(opIdx, op))
+            opIdx := add(opIdx, 1)
+        }}
     }}
     if iszero(call(gas(), beneficiary, collected, 0, 0, 0, 0)) {{
         revert(0, 0)
@@ -679,6 +739,26 @@ case 0x3fb5c1cb { sstore(0, calldataload(4)) stop() }         // setNumber(uint2
 default { revert(0, 0) }
 """
 
+# test IAggregator (interfaces/IAggregator.sol): accepts a group iff the
+# aggregated signature is the 32-byte MAGIC word, and counts accepted
+# groups in slot 0 (so tests can assert validateSignatures actually ran)
+AGGREGATOR_MAGIC = 0xA6672E6A7ED15B5F1F3C5E1A9F0D1C2B3A49586770695A4B3C2D1E0F00112233
+
+MOCK_AGGREGATOR_YUL = f"""
+if lt(calldatasize(), 4) {{ revert(0, 0) }}
+switch shr(224, calldataload(0))
+case 0x{VALIDATE_SIGNATURES_SELECTOR:08x} {{
+    let sigPtr := add(4, calldataload(36))
+    if iszero(eq(calldataload(sigPtr), 32)) {{ revert(0, 0) }}
+    if iszero(eq(calldataload(add(sigPtr, 32)),
+                 0x{AGGREGATOR_MAGIC:064x})) {{ revert(0, 0) }}
+    sstore(0, add(sload(0), 1))
+    stop()
+}}
+case 0x8381f58a {{ mstore(0, sload(0)) return(0, 32) }}        // number()
+default {{ revert(0, 0) }}
+"""
+
 
 # ---------------------------------------------------------------------------
 # deployment helpers
@@ -722,6 +802,12 @@ def compile_paymaster(entry_point: int, owner: int) -> tuple[bytes, bytes]:
 
     return compile_contract(_template(
         SPONSOR_PAYMASTER_YUL, ENTRY_POINT=entry_point, OWNER=owner))
+
+
+def compile_mock_aggregator() -> tuple[bytes, bytes]:
+    from ..evm.yulc import compile_contract
+
+    return compile_contract(MOCK_AGGREGATOR_YUL)
 
 
 def compile_counter() -> tuple[bytes, bytes]:
