@@ -441,6 +441,16 @@ class FusedPhases:
 
             def fn(fixed_ext, sigma_ext, ext_s, l0, llast, lblind, x_ext,
                    zh_inv, beta, gamma, y):
+                # residents arrive int16 (lazy limbs < 2^12); upcast on
+                # read — XLA fuses the converts into the gate evaluation
+                i32 = jnp.int32
+                fixed_ext = [t.astype(i32) for t in fixed_ext]
+                sigma_ext = [t.astype(i32) for t in sigma_ext]
+                ext_s = ext_s.astype(i32)
+                l0, llast, lblind = (l0.astype(i32), llast.astype(i32),
+                                     lblind.astype(i32))
+                x_ext = x_ext.astype(i32)
+                zh_inv = zh_inv.astype(i32)
                 h_ext = core(fixed_ext, sigma_ext, ext_s, l0, llast,
                              lblind, x_ext, zh_inv, beta, gamma, y)
                 h_coeff = domain.extended_to_coeff(h_ext)
@@ -452,7 +462,7 @@ class FusedPhases:
         return self._get("quot", build)(
             pk.fixed_ext, pk.sigma_ext, ext_stack, pk.l0_ext, pk.llast_ext,
             pk.lblind_ext, pk.x_ext,
-            jnp.asarray(self.domain.zh_inv_extended_np()),
+            jnp.asarray(self.domain.zh_inv_extended_np().astype(np.int16)),
             beta_t, gamma_t, y_t)
 
     # -- phase 7: evaluations ----------------------------------------------

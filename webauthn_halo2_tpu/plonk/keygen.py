@@ -257,7 +257,8 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         ext_stack = batched_c2e(k, domain.extended_k, coeff_stack)
         fixed_lagrange = [lag_stack[i] for i in range(len(fixed_cols))]
         fixed_coeff = [coeff_stack[i] for i in range(len(fixed_cols))]
-        fixed_ext = [ext_stack[i] for i in range(len(fixed_cols))]
+        fixed_ext = [ext_stack[i].astype(jnp.int16)
+                     for i in range(len(fixed_cols))]
     _tt = _span("fixed cols", _tt)
     fixed_comms = commit_lagrange_batch(srs, fixed_lagrange)
     _tt = _span("fixed commits", _tt)
@@ -300,7 +301,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
         sig_ext_stack = batched_c2e(k, domain.extended_k, sig_coeff_stack)
         sigma_lagrange = [sig_stack[j] for j in range(ncols)]
         sigma_coeff = [sig_coeff_stack[j] for j in range(ncols)]
-        sigma_ext = [sig_ext_stack[j] for j in range(ncols)]
+        sigma_ext = [sig_ext_stack[j].astype(jnp.int16) for j in range(ncols)]
     _tt = _span("sigma polys", _tt)
     perm_comms = commit_lagrange_batch(srs, sigma_lagrange) if sigma_lagrange else []
     _tt = _span("sigma commits", _tt)
@@ -316,13 +317,16 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     lblind = [0] * n
     for i in range(u + 1, n):
         lblind[i] = 1
-    l0_ext = domain.coeff_to_extended(domain.lagrange_to_coeff(encode_column(l0)))
+    # int16 residency for all extended-domain tensors (limbs < 2^12;
+    # the quotient graph upcasts on read)
+    l0_ext = domain.coeff_to_extended(
+        domain.lagrange_to_coeff(encode_column(l0))).astype(jnp.int16)
     llast_ext = domain.coeff_to_extended(
         domain.lagrange_to_coeff(encode_column(llast))
-    )
+    ).astype(jnp.int16)
     lblind_ext = domain.coeff_to_extended(
         domain.lagrange_to_coeff(encode_column(lblind))
-    )
+    ).astype(jnp.int16)
     _tt = _span("indicator polys", _tt)
 
     # --- coset points X on extended domain ---
@@ -335,7 +339,7 @@ def keygen(srs: SRS, cs: CS.ConstraintSystem, fixed_cols: list, copies: list
     for i in range(ext_n):
         xs[i] = accx
         accx = accx * wext % R
-    x_ext = encode_column(xs)
+    x_ext = encode_column(xs).astype(jnp.int16)
     _tt = _span("x_ext coset", _tt)
 
     # --- vk digest ---

@@ -120,8 +120,9 @@ def load_pk(path: str, srs: SRS, cs: CS.ConstraintSystem) -> ProvingKey:
     z = np.load(path)
     domain = _domain_for(cs, srs.k)
 
-    def get_list(prefix: str) -> list:
-        return [jnp.asarray(z[f"{prefix}_{i}"])
+    def get_list(prefix: str, dtype=None) -> list:
+        return [jnp.asarray(z[f"{prefix}_{i}"].astype(dtype)
+                            if dtype is not None else z[f"{prefix}_{i}"])
                 for i in range(int(z[f"{prefix}_len"][0]))]
 
     def comms_of(name: str) -> list:
@@ -143,11 +144,14 @@ def load_pk(path: str, srs: SRS, cs: CS.ConstraintSystem) -> ProvingKey:
     omega_np[:] = omega_ints
     return ProvingKey(
         vk, srs,
-        get_list("fixed_lag"), get_list("fixed_coeff"), get_list("fixed_ext"),
+        get_list("fixed_lag"), get_list("fixed_coeff"),
+        get_list("fixed_ext", np.int16),
         [], get_list("sigma_lag"), get_list("sigma_coeff"),
-        get_list("sigma_ext"), [],
-        jnp.asarray(z["l0_ext"]), jnp.asarray(z["llast_ext"]),
-        jnp.asarray(z["lblind_ext"]), jnp.asarray(z["x_ext"]),
+        get_list("sigma_ext", np.int16), [],
+        jnp.asarray(z["l0_ext"].astype(np.int16)),
+        jnp.asarray(z["llast_ext"].astype(np.int16)),
+        jnp.asarray(z["lblind_ext"].astype(np.int16)),
+        jnp.asarray(z["x_ext"].astype(np.int16)),
         omega_np,
     )
 

@@ -235,7 +235,12 @@ def create_proof(
                              lk_perm_mont, lk_mont, random_lag)
     coeff_stack = batched_l2c(domain.k, lag_stack)
     lag_stack = None
-    ext_stack = batched_c2e(domain.k, domain.extended_k, coeff_stack)
+    # int16 residency: extended-domain limbs are lazy-bounded < 2^12, so
+    # the (cols, L, ext_n) stack — the prover's biggest tensor — lives at
+    # half width; the quotient graph upcasts on read. (The ES256 circuit
+    # at k=17 OOMed a 16 GB chip with int32 residents.)
+    ext_stack = batched_c2e(domain.k, domain.extended_k,
+                            coeff_stack).astype(jnp.int16)
     h_pieces = fp.quotient(ext_stack, beta_t, gamma_t, _mont_const(y))
     ext_stack = None
     for pt in commit_coeff_batch(pk.srs, h_pieces):
