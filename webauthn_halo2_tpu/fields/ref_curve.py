@@ -68,15 +68,62 @@ class Curve:
         return (pt[0], (-pt[1]) % self.p)
 
     def mul(self, k: int, pt: Point) -> Point:
+        """Scalar multiply — Jacobian double-and-add (ONE field inversion
+        total; the affine ladder paid an inv_mod per add, which made the
+        host verifier's multiopen MSM ~10x slower than necessary)."""
         k %= self.n
-        acc: Point = None
-        add = pt
-        while k:
-            if k & 1:
-                acc = self.add(acc, add)
-            add = self.add(add, add)
-            k >>= 1
-        return acc
+        if k == 0 or pt is None:
+            return None
+        p = self.p
+        a = self.a
+        x2, y2 = pt
+        X, Y, Z = 0, 1, 0  # infinity
+        for bit in bin(k)[2:]:
+            # double (general a; handles infinity via Z == 0)
+            if Z:
+                YY = Y * Y % p
+                S = 4 * X * YY % p
+                ZZ = Z * Z % p
+                M = (3 * X * X + a * ZZ % p * ZZ) % p
+                X3 = (M * M - 2 * S) % p
+                Y3 = (M * (S - X3) - 8 * YY * YY) % p
+                Z3 = 2 * Y * Z % p
+                X, Y, Z = X3, Y3, Z3
+            if bit == "1":
+                if Z == 0:
+                    X, Y, Z = x2, y2, 1
+                else:
+                    ZZ = Z * Z % p
+                    U2 = x2 * ZZ % p
+                    S2 = y2 * ZZ % p * Z % p
+                    H = (U2 - X) % p
+                    r = (S2 - Y) % p
+                    if H == 0:
+                        if r == 0:
+                            # doubling case: rare (k*P hits 2Q); reuse the
+                            # doubling formulas
+                            YY = Y * Y % p
+                            S = 4 * X * YY % p
+                            M = (3 * X * X + a * (Z * Z % p) ** 2) % p
+                            X3 = (M * M - 2 * S) % p
+                            Y3 = (M * (S - X3) - 8 * YY * YY) % p
+                            Z3 = 2 * Y * Z % p
+                            X, Y, Z = X3, Y3, Z3
+                        else:
+                            X, Y, Z = 0, 1, 0
+                    else:
+                        HH = H * H % p
+                        HHH = HH * H % p
+                        V = X * HH % p
+                        X3 = (r * r - HHH - 2 * V) % p
+                        Y3 = (r * (V - X3) - Y * HHH) % p
+                        Z3 = Z * H % p
+                        X, Y, Z = X3, Y3, Z3
+        if Z == 0:
+            return None
+        zi = inv_mod(Z, p)
+        zi2 = zi * zi % p
+        return (X * zi2 % p, Y * zi2 % p * zi % p)
 
     def lift_x(self, x: int, y_odd: bool) -> Point:
         """Decompress: recover (x, y) with given y parity; None if invalid."""
