@@ -45,7 +45,7 @@ def main():
         # auto_params estimates from total cell count; the builder's
         # per-column fill is not perfectly balanced, so grow columns
         # until the witness actually fits (the build is the check)
-        for attempt in range(4):
+        for attempt in range(5):
             print(f"k={k}: {params}", file=sys.stderr, flush=True)
             circuit = ECDSACircuit(params)
             try:
@@ -53,8 +53,13 @@ def main():
                 break
             except AssertionError as e:
                 print(f"k={k}: retry ({e})", file=sys.stderr, flush=True)
-                params.num_advice += 1
-                params.num_lookup_advice += (attempt == 2)
+                if not params.balance_columns:
+                    # round-robin region placement skews column fills;
+                    # load-balancing usually fits without extra columns
+                    params.balance_columns = True
+                else:
+                    params.num_advice += 1
+                    params.num_lookup_advice += (attempt == 3)
         else:
             raise RuntimeError(f"k={k}: could not fit circuit")
         pk = keygen_cached(srs, cs, fixed, copies)

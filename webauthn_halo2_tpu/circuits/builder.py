@@ -40,7 +40,12 @@ class Cell(NamedTuple):
 class CircuitBuilder:
     def __init__(self, num_advice: int = 4, num_lookup_advice: int = 1,
                  lookup_bits: int = 16, check: bool = True,
-                 layout: bool = True):
+                 layout: bool = True, balance: bool = False):
+        # balance=True places each region on the currently-shortest gate
+        # column instead of round-robin: region sizes are uneven, and at
+        # high column counts (low k) the round-robin skew can push one
+        # column past the usable rows no matter how many columns exist
+        self.balance = balance
         self.num_advice = num_advice
         self.num_lookup_advice = num_lookup_advice
         self.lookup_bits = lookup_bits
@@ -70,7 +75,13 @@ class CircuitBuilder:
                       column: int | None = None) -> list[Cell]:
         """Append `values` to one gate column; enable the vertical gate at
         the given offsets (each asserts v[o] + v[o+1]*v[o+2] == v[o+3])."""
-        col = self._col_rr if column is None else column
+        if column is not None:
+            col = column
+        elif self.balance:
+            col = min(range(self.num_advice),
+                      key=lambda c: len(self.columns[c]))
+        else:
+            col = self._col_rr
         self._col_rr = (col + 1) % self.num_advice
         base = len(self.columns[col])
         vals = [v % R for v in values]

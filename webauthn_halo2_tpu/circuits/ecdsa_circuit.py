@@ -27,6 +27,10 @@ class CircuitParams:
     lookup_bits: int = 16
     limb_bits: int = 88
     num_limbs: int = 3
+    # balance gate regions across columns by load (needed for the
+    # high-column low-k bench shapes; default off keeps the production
+    # layout stable)
+    balance_columns: bool = False
     # expose the msghash limbs as public inputs (instance column): binds
     # the proof to its message ON CHAIN — the reference's open TODO
     # (P256Account.sol:77). Default off = reference parity (zero
@@ -107,6 +111,7 @@ class ECDSACircuit:
             num_lookup_advice=p.num_lookup_advice,
             lookup_bits=p.lookup_bits,
             check=check,
+            balance=p.balance_columns,
         )
         chip = EcdsaChip(b)
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
@@ -127,6 +132,7 @@ class ECDSACircuit:
             lookup_bits=p.lookup_bits,
             check=False,
             layout=False,
+            balance=p.balance_columns,  # MUST mirror build()'s layout
         )
         chip = EcdsaChip(b)
         chip.verify(inputs.r, inputs.s, inputs.msghash, inputs.pk)
