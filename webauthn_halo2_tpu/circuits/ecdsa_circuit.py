@@ -91,6 +91,9 @@ def auto_params(degree: int) -> CircuitParams:
     nl = -(-lookups // (usable - 64))
     probe.num_advice = max(1, na)
     probe.num_lookup_advice = max(1, nl)
+    # high-column shapes need load-balanced region placement (one skewed
+    # column otherwise exceeds the usable rows regardless of column count)
+    probe.balance_columns = degree <= 14
     return probe
 
 
