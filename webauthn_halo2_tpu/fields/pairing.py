@@ -271,8 +271,14 @@ def pairing_check(pairs: list[tuple[tuple[int, int], tuple]]) -> bool:
     """prod e(P_i, Q_i) == 1, via multi-Miller + one final exponentiation.
 
     `pairs` = [(G1_point, G2_point), ...]; None G1 entries are skipped
-    (identity contributes 1 to the product).
-    """
+    (identity contributes 1 to the product). Dispatches to the native
+    C++ tower (libwh2pair.so, ~20x faster) when built; this pure-Python
+    path is the hermetic fallback and the test oracle."""
+    from . import pairing_native as _PN
+
+    r = _PN.pairing_check(pairs)
+    if r is not None:
+        return r
     f = Fq12.one()
     for p_pt, q_pt in pairs:
         if p_pt is None:

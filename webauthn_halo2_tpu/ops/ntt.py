@@ -41,7 +41,9 @@ def _bitrev_perm(k: int) -> np.ndarray:
     rev = np.zeros(n, dtype=np.int64)
     for b in range(k):
         rev |= ((idx >> b) & 1) << (k - 1 - b)
-    return rev
+    # int32 indices: halves the gather-constant footprint in every
+    # phase graph shipped to the compile relay (k=18+ hit its body cap)
+    return rev.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,7 +63,9 @@ def _stage_twiddles(k: int, inverse: bool, p: int, base_root: int):
         h = 1 << (stage - 1)  # half-block
         step = n >> stage
         tw = [pow(w, j * step, p) for j in range(h)]
-        out.append(np.asarray(spec.encode(tw), dtype=np.int32))  # (L, h)
+        # canonical Montgomery limbs are bytes: stored uint8 (4x smaller
+        # graph constants), upcast to int32 in-graph at the use site
+        out.append(np.asarray(spec.encode(tw), dtype=np.uint8))  # (L, h)
     return out
 
 
@@ -74,7 +78,7 @@ def _ntt_core(spec: FieldSpec, a: jnp.ndarray, k: int, inverse: bool,
     twiddles = _stage_twiddles(k, inverse, p, base_root)
     for stage in range(1, k + 1):
         h = 1 << (stage - 1)
-        tw = jnp.asarray(twiddles[stage - 1])  # (L, h)
+        tw = jnp.asarray(twiddles[stage - 1]).astype(jnp.int32)  # (L, h)
         xr = x.reshape(L, n >> stage, 2, h)
         lo = xr[:, :, 0, :]  # (L, blocks, h)
         hi = xr[:, :, 1, :]
@@ -139,7 +143,7 @@ def _power_table(spec: FieldSpec, g: int, n: int) -> np.ndarray:
     for _ in range(n):
         powers.append(acc)
         acc = acc * g % spec.p
-    return np.asarray(spec.encode(powers), dtype=np.int32)
+    return np.asarray(spec.encode(powers), dtype=np.uint8)
 
 
 def coset_shift(spec: FieldSpec, a: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -147,5 +151,5 @@ def coset_shift(spec: FieldSpec, a: jnp.ndarray, g: int) -> jnp.ndarray:
 
     Used for the extended-domain quotient evaluation (the halo2
     coeff_to_extended equivalent)."""
-    pw = jnp.asarray(_power_table(spec, g, a.shape[1]))
+    pw = jnp.asarray(_power_table(spec, g, a.shape[1])).astype(jnp.int32)
     return M.montmul(spec, a, pw)

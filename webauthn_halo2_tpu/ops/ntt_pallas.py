@@ -109,7 +109,7 @@ def _stage_a(spec: FieldSpec, x, k: int, inverse: bool, t_lanes: int = 0):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(x, jnp.asarray(tw_cat), *consts)
+    )(x, jnp.asarray(tw_cat).astype(jnp.int32), *consts)
 
 
 def _kernel_b(spec, is_hi_bit, x_lo_ref, x_hi_ref, tw_ref,
@@ -140,7 +140,8 @@ def _stage_b(spec: FieldSpec, x, k: int, stage_h: int, inverse: bool,
     s_idx = stage_h.bit_length() - 1  # 0-based stage number = log2(h)
     tws = _stage_twiddles(k, inverse, spec.p, _base_root(spec))
     tw = tws[s_idx]                   # (L, h)
-    tw_blocks = jnp.asarray(tw.reshape(L, hb, T).transpose(1, 0, 2))
+    tw_blocks = jnp.asarray(
+        tw.reshape(L, hb, T).transpose(1, 0, 2)).astype(jnp.int32)
     consts = [
         jnp.asarray(np.asarray(v).reshape(L, 1), jnp.int32)
         for v in (spec.p_limbs, spec.sub_pad, spec.c256_limbs)

@@ -192,7 +192,7 @@ _GLOBAL_FNS: dict = {}  # circuit tag -> {graph key -> wrapped callable}
 # name+shapes, NOT code — bump this whenever in-graph kernel code changes
 # (e.g. the NTT dispatch now routing to ops/ntt_pallas) so stale
 # executables cannot load.
-_GRAPH_REV = "r4a"
+_GRAPH_REV = "r5a"
 
 
 def _stable_key(obj) -> str:

@@ -19,6 +19,21 @@ from .transcript import Blake2bRead
 R = BN254_FR
 G = BN254_G1_CURVE
 
+
+def _host_msm(pairs):
+    """sum s*P over host affine int points (None skipped); native C++
+    MSM (libwh2pair.so) when available, Python Jacobian fallback."""
+    from ..fields import pairing_native as _PN
+
+    r = _PN.g1_msm([(pt, sc % R) for pt, sc in pairs])
+    if r is not NotImplemented:
+        return r
+    acc = None
+    for pt, sc in pairs:
+        acc = G.add(acc, G.mul(sc % R, pt))
+    return acc
+
+
 LAST_DEBUG: dict = {}
 
 
@@ -196,9 +211,8 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
         com_map[("lookup_z", li)] = lk_z_coms[li]
         com_map[("lookup_ap", li)] = lk_permuted[li][0]
         com_map[("lookup_sp", li)] = lk_permuted[li][1]
-    h_combined = None
-    for i, hc in enumerate(h_coms):
-        h_combined = G.add(h_combined, G.mul(pow(xn, i, R), hc))
+    h_combined = _host_msm(
+        [(hc, pow(xn, i, R)) for i, hc in enumerate(h_coms)])
     com_map[("h",)] = h_combined
 
     # instance-column commitments: computed BY THE VERIFIER from the
@@ -213,10 +227,8 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
             srs, max((len(c) for c in inst_vals), default=0))
         for idx in range(cs.num_instance):
             col = inst_vals[idx] if idx < len(inst_vals) else []
-            com = None
-            for i, v in enumerate(col):
-                if v:
-                    com = G.add(com, G.mul(v, g_lag_host[i]))
+            com = _host_msm(
+                [(g_lag_host[i], v) for i, v in enumerate(col) if v])
             com_map[(CS.INSTANCE, idx)] = com
 
     queries.append((("h",), 0, h_expected))
@@ -292,9 +304,7 @@ def _verify(vk: VerifyingKey, srs, proof: bytes, instances: list,
     # + u * W for the pairing rearrangement
     acc_pts.append((w_com, u_ch))
 
-    lcom_u_w = None
-    for pt, sc in acc_pts:
-        lcom_u_w = G.add(lcom_u_w, G.mul(sc, pt))
+    lcom_u_w = _host_msm(acc_pts)
 
     return pairing_check(
         [(lcom_u_w, srs.g2), (G.neg(w_com), srs.s_g2)]
@@ -364,12 +374,6 @@ def _check_gwc(t, queries, com_map, rot_point, srs) -> bool:
         lhs_pts.append((w_coms[j], upow))
         upow = upow * u % R
 
-    def msm_host_pts(pairs):
-        acc = None
-        for pt, sc in pairs:
-            acc = G.add(acc, G.mul(sc % R, pt))
-        return acc
-
-    lhs = msm_host_pts(lhs_pts)
-    rhs = msm_host_pts(rhs_pts)
+    lhs = _host_msm(lhs_pts)
+    rhs = _host_msm(rhs_pts)
     return pairing_check([(lhs, srs.s_g2), (G.neg(rhs), srs.g2)])
