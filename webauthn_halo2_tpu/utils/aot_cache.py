@@ -100,7 +100,24 @@ def aot_wrap(name: str, jitted_fn, static_argnums: tuple = ()):
             except Exception as e:  # stale/incompatible: recompile
                 _log(f"{key}: load failed ({e}); recompiling")
         t0 = time.time()
-        compiled = jitted_fn.lower(*args).compile()
+        # The tunneled backend's remote-compile relay intermittently drops
+        # the connection on long compiles ("response body closed before
+        # all bytes were read", INTERNAL). Compiles are idempotent and
+        # every finished graph is disk-cached, so retrying here turns an
+        # hour-long multi-graph run from all-or-nothing into resumable.
+        attempts = int(os.environ.get("WH2_COMPILE_RETRIES", "4"))
+        for attempt in range(attempts):
+            try:
+                compiled = jitted_fn.lower(*args).compile()
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError et al.
+                transient = ("remote_compile" in str(e)
+                             or "INTERNAL" in str(e))
+                if not transient or attempt == attempts - 1:
+                    raise
+                _log(f"{key}: compile attempt {attempt + 1} failed "
+                     f"({str(e)[:120]}); retrying in 30s")
+                time.sleep(30)
         _log(f"{key}: compiled in {time.time()-t0:.1f}s")
         _MEM[key] = compiled
         try:
