@@ -18,6 +18,10 @@ import time
 
 os.environ.setdefault(
     "WH2_SRS_DIR", os.path.join(os.path.dirname(__file__), "artifacts"))
+# the 15-advice ES256 ext stack OOMs a 16 GB chip through the full-width
+# quotient graph (results/ROUND5.md §4); the windowed lax.map evaluation
+# is bit-identical (tests/test_quotient_chunked.py) at 1/8 the temps
+os.environ.setdefault("WH2_QUOTIENT_CHUNKS", "8")
 
 
 def log(*a):

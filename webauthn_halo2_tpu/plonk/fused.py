@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -433,24 +434,31 @@ class FusedPhases:
                        lk=self.na + self.ni + self.nz)
         num_pieces = cs_.degree() - 1
         n = self.n
+        # opt-in chunked evaluation (lax.map over circular ext windows):
+        # per-constraint temps shrink chunks-fold and the int16 residents
+        # are upcast per-window instead of full-width — the memory mode
+        # that lets the 15-advice ES256 stack prove at k=17 on 16 GB
+        nc = int(os.environ.get("WH2_QUOTIENT_CHUNKS", "1"))
 
         def build():
             core = _quotient_core(cs_, self.usable, ratio, offsets,
-                                  self.na, self.ni, self.nz, self.nlk)
+                                  self.na, self.ni, self.nz, self.nlk,
+                                  chunks=nc)
             domain = self.domain
 
             def fn(fixed_ext, sigma_ext, ext_s, l0, llast, lblind, x_ext,
                    zh_inv, beta, gamma, y):
-                # residents arrive int16 (lazy limbs < 2^12); upcast on
-                # read — XLA fuses the converts into the gate evaluation
-                i32 = jnp.int32
-                fixed_ext = [t.astype(i32) for t in fixed_ext]
-                sigma_ext = [t.astype(i32) for t in sigma_ext]
-                ext_s = ext_s.astype(i32)
-                l0, llast, lblind = (l0.astype(i32), llast.astype(i32),
-                                     lblind.astype(i32))
-                x_ext = x_ext.astype(i32)
-                zh_inv = zh_inv.astype(i32)
+                if nc == 1:
+                    # residents arrive int16 (lazy limbs < 2^12); upcast on
+                    # read — XLA fuses the converts into the gate evaluation
+                    i32 = jnp.int32
+                    fixed_ext = [t.astype(i32) for t in fixed_ext]
+                    sigma_ext = [t.astype(i32) for t in sigma_ext]
+                    ext_s = ext_s.astype(i32)
+                    l0, llast, lblind = (l0.astype(i32), llast.astype(i32),
+                                         lblind.astype(i32))
+                    x_ext = x_ext.astype(i32)
+                    zh_inv = zh_inv.astype(i32)
                 h_ext = core(fixed_ext, sigma_ext, ext_s, l0, llast,
                              lblind, x_ext, zh_inv, beta, gamma, y)
                 h_coeff = domain.extended_to_coeff(h_ext)
@@ -459,7 +467,7 @@ class FusedPhases:
 
             return fn
 
-        return self._get("quot", build)(
+        return self._get("quot" if nc == 1 else f"quotc{nc}", build)(
             pk.fixed_ext, pk.sigma_ext, ext_stack, pk.l0_ext, pk.llast_ext,
             pk.lblind_ext, pk.x_ext,
             jnp.asarray(self.domain.zh_inv_extended_np().astype(np.int16)),

@@ -465,9 +465,20 @@ def _polymul(a, b):
 # ---------------------------------------------------------------------------
 
 def _quotient_core(cs: CS.ConstraintSystem, u: int, ratio: int,
-                   offsets: dict, na: int, ni: int, nz: int, nlk: int):
+                   offsets: dict, na: int, ni: int, nz: int, nlk: int,
+                   chunks: int = 1):
     """Builds the h_ext evaluation over STACKED extended tensors (sliced
-    in-graph, so no unstacked copies ever materialize in HBM)."""
+    in-graph, so no unstacked copies ever materialize in HBM).
+
+    chunks > 1 (opt-in, WH2_QUOTIENT_CHUNKS): evaluate the gate system
+    over the extended domain in `chunks` circular windows under lax.map.
+    Every term is pointwise in the ext axis except rotations, which are
+    rolls by rot*ratio — so a window [s, s+C) of a rolled tensor is just
+    the circular window [s+rot*ratio, ...) of the source. Windowed
+    gathers mean the per-constraint int32 temps are (33, ext_n/chunks)
+    instead of (33, ext_n); residents can then stay int16 end-to-end
+    (the full-width upcast of a 15-advice ES256 stack at k=17 is what
+    OOMed the 16 GB chip — results/ROUND5.md §4)."""
     chunk_len = cs.permutation_chunk_len()
     perm_cols = cs.perm_columns
     adv_off, inst_off = offsets["adv"], offsets["inst"]
@@ -475,107 +486,147 @@ def _quotient_core(cs: CS.ConstraintSystem, u: int, ratio: int,
 
     def core(fixed_ext, sigma_ext, ext_stack, l0, llast, lblind, x_ext,
              zh_inv, beta_t, gamma_t, y_t):
-        def col_getter_ext(kind, idx, rot):
-            if kind == CS.FIXED:
-                src_ = fixed_ext[idx]
-            elif kind == CS.ADVICE:
-                src_ = ext_stack[adv_off + idx]
-            else:
-                src_ = ext_stack[inst_off + idx]
-            return jnp.roll(src_, -rot * ratio, axis=1) if rot else src_
+        def _eval_h(get):
+            return _quotient_body(
+                cs, u, ratio, chunk_len, perm_cols, adv_off, inst_off,
+                z_off, lk_off, na, ni, nz, nlk, fixed_ext, sigma_ext,
+                ext_stack, l0, llast, lblind, x_ext, zh_inv, beta_t,
+                gamma_t, y_t, get)
 
-        def rot_ext(tensor, rot):
-            return jnp.roll(tensor, -rot * ratio, axis=1)
+        if chunks == 1:
+            def get(src, rot):
+                return jnp.roll(src, -rot * ratio, axis=1) if rot else src
 
-        perm_z_ext = [ext_stack[z_off + i] for i in range(nz)]
-        lk_ext = [
-            dict(
-                z=ext_stack[lk_off + 5 * li],
-                a_p=ext_stack[lk_off + 5 * li + 1],
-                s_p=ext_stack[lk_off + 5 * li + 2],
-                inp=ext_stack[lk_off + 5 * li + 3],
-                tab=ext_stack[lk_off + 5 * li + 4],
-            )
-            for li in range(nlk)
-        ]
+            return _eval_h(get)
 
-        one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
-        active = M.sub(SPEC, one_t, M.add(SPEC, llast, lblind))
+        import jax
 
-        constraints = []
-        for _, g in cs.gates:
-            constraints.append(CS.eval_device(g, col_getter_ext))
-        if perm_cols:
-            constraints.append(
-                M.montmul(SPEC, l0, M.sub(SPEC, one_t, perm_z_ext[0]))
-            )
-            zl = perm_z_ext[-1]
-            constraints.append(
-                M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, zl), zl))
-            )
-            for i in range(1, len(perm_z_ext)):
-                constraints.append(
-                    M.montmul(
-                        SPEC, l0,
-                        M.sub(SPEC, perm_z_ext[i], rot_ext(perm_z_ext[i - 1], u)),
-                    )
-                )
-            for ci, cstart in enumerate(range(0, len(perm_cols), chunk_len)):
-                chunk = list(
-                    range(cstart, min(cstart + chunk_len, len(perm_cols)))
-                )
-                left = rot_ext(perm_z_ext[ci], 1)
-                right = perm_z_ext[ci]
-                for j in chunk:
-                    kind, idx = perm_cols[j]
-                    v = col_getter_ext(kind, idx, 0)
-                    delta_j = pow(BN254_FR_DELTA, j, R)
-                    dj_t = jnp.asarray(SPEC.encode([delta_j]), dtype=jnp.int32)
-                    idv = M.montmul(SPEC, dj_t, x_ext)
-                    left = M.montmul(
-                        SPEC, left,
-                        M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, sigma_ext[j])), gamma_t),
-                    )
-                    right = M.montmul(
-                        SPEC, right,
-                        M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, idv)), gamma_t),
-                    )
-                constraints.append(
-                    M.montmul(SPEC, active, M.sub(SPEC, left, right))
-                )
-        for lkd in lk_ext:
-            z_e = lkd["z"]
-            z_n = rot_ext(z_e, 1)
-            ap = lkd["a_p"]
-            sp = lkd["s_p"]
-            ap_prev = rot_ext(ap, -1)
-            constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, one_t, z_e)))
-            constraints.append(
-                M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, z_e), z_e))
-            )
-            lhs = M.montmul(
-                SPEC, z_n,
-                M.montmul(SPEC, M.add(SPEC, ap, beta_t), M.add(SPEC, sp, gamma_t)),
-            )
-            rhs = M.montmul(
-                SPEC, z_e,
-                M.montmul(
-                    SPEC, M.add(SPEC, lkd["inp"], beta_t),
-                    M.add(SPEC, lkd["tab"], gamma_t),
-                ),
-            )
-            constraints.append(M.montmul(SPEC, active, M.sub(SPEC, lhs, rhs)))
-            constraints.append(
-                M.montmul(
-                    SPEC, active,
-                    M.montmul(SPEC, M.sub(SPEC, ap, sp), M.sub(SPEC, ap, ap_prev)),
-                )
-            )
-            constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, ap, sp)))
+        ext_n = zh_inv.shape[-1]
+        C = ext_n // chunks
+        assert C * chunks == ext_n, (chunks, ext_n)
 
-        h_ext = constraints[0]
-        for c in constraints[1:]:
-            h_ext = M.add(SPEC, M.montmul(SPEC, h_ext, y_t), c)
-        return M.montmul(SPEC, h_ext, zh_inv)
+        def one_chunk(ci):
+            idx0 = ci * C + jnp.arange(C)
+
+            def get(src, rot):
+                idx = (idx0 + rot * ratio) % ext_n if rot else idx0
+                out = jnp.take(src, idx, axis=-1)
+                # residents arrive int16 (lazy limbs < 2^12); upcast the
+                # window, never the full tensor
+                return out.astype(jnp.int32) if out.dtype != jnp.int32 else out
+
+            return _eval_h(get)
+
+        h = jax.lax.map(one_chunk, jnp.arange(chunks))  # (chunks, 33, C)
+        return jnp.transpose(h, (1, 0, 2)).reshape(h.shape[1], ext_n)
 
     return core
+
+
+def _quotient_body(cs, u, ratio, chunk_len, perm_cols, adv_off, inst_off,
+                   z_off, lk_off, na, ni, nz, nlk, fixed_ext, sigma_ext,
+                   ext_stack, l0, llast, lblind, x_ext, zh_inv, beta_t,
+                   gamma_t, y_t, get):
+    """One evaluation of the full gate system through a window/roll getter
+    `get(src, rot)`. With the roll getter this is structurally the round-4
+    graph; with a windowed getter it is one lax.map chunk. Rotated reads
+    always go through `get` on the RAW source tensor (a window of a roll
+    is a shifted circular window of the source)."""
+    def col_getter_ext(kind, idx, rot):
+        if kind == CS.FIXED:
+            src_ = fixed_ext[idx]
+        elif kind == CS.ADVICE:
+            src_ = ext_stack[adv_off + idx]
+        else:
+            src_ = ext_stack[inst_off + idx]
+        return get(src_, rot)
+
+    def W(t):
+        return get(t, 0)
+
+    perm_z_raw = [ext_stack[z_off + i] for i in range(nz)]
+    l0, llast, lblind = W(l0), W(llast), W(lblind)
+    x_ext, zh_inv = W(x_ext), W(zh_inv)
+
+    one_t = jnp.asarray(np.asarray(SPEC.one_mont).reshape(33, 1))
+    active = M.sub(SPEC, one_t, M.add(SPEC, llast, lblind))
+
+    constraints = []
+    for _, g in cs.gates:
+        constraints.append(CS.eval_device(g, col_getter_ext))
+    if perm_cols:
+        constraints.append(
+            M.montmul(SPEC, l0, M.sub(SPEC, one_t, W(perm_z_raw[0])))
+        )
+        zl = W(perm_z_raw[-1])
+        constraints.append(
+            M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, zl), zl))
+        )
+        for i in range(1, nz):
+            constraints.append(
+                M.montmul(
+                    SPEC, l0,
+                    M.sub(SPEC, W(perm_z_raw[i]), get(perm_z_raw[i - 1], u)),
+                )
+            )
+        for ci, cstart in enumerate(range(0, len(perm_cols), chunk_len)):
+            chunk = list(
+                range(cstart, min(cstart + chunk_len, len(perm_cols)))
+            )
+            left = get(perm_z_raw[ci], 1)
+            right = W(perm_z_raw[ci])
+            for j in chunk:
+                kind, idx = perm_cols[j]
+                v = col_getter_ext(kind, idx, 0)
+                delta_j = pow(BN254_FR_DELTA, j, R)
+                dj_t = jnp.asarray(SPEC.encode([delta_j]), dtype=jnp.int32)
+                idv = M.montmul(SPEC, dj_t, x_ext)
+                left = M.montmul(
+                    SPEC, left,
+                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, W(sigma_ext[j]))), gamma_t),
+                )
+                right = M.montmul(
+                    SPEC, right,
+                    M.add(SPEC, M.add(SPEC, v, M.montmul(SPEC, beta_t, idv)), gamma_t),
+                )
+            constraints.append(
+                M.montmul(SPEC, active, M.sub(SPEC, left, right))
+            )
+    for li in range(nlk):
+        z_src = ext_stack[lk_off + 5 * li]
+        ap_src = ext_stack[lk_off + 5 * li + 1]
+        z_e = W(z_src)
+        z_n = get(z_src, 1)
+        ap = W(ap_src)
+        sp = W(ext_stack[lk_off + 5 * li + 2])
+        inp = W(ext_stack[lk_off + 5 * li + 3])
+        tab = W(ext_stack[lk_off + 5 * li + 4])
+        ap_prev = get(ap_src, -1)
+        constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, one_t, z_e)))
+        constraints.append(
+            M.montmul(SPEC, llast, M.sub(SPEC, M.montsquare(SPEC, z_e), z_e))
+        )
+        lhs = M.montmul(
+            SPEC, z_n,
+            M.montmul(SPEC, M.add(SPEC, ap, beta_t), M.add(SPEC, sp, gamma_t)),
+        )
+        rhs = M.montmul(
+            SPEC, z_e,
+            M.montmul(
+                SPEC, M.add(SPEC, inp, beta_t),
+                M.add(SPEC, tab, gamma_t),
+            ),
+        )
+        constraints.append(M.montmul(SPEC, active, M.sub(SPEC, lhs, rhs)))
+        constraints.append(
+            M.montmul(
+                SPEC, active,
+                M.montmul(SPEC, M.sub(SPEC, ap, sp), M.sub(SPEC, ap, ap_prev)),
+            )
+        )
+        constraints.append(M.montmul(SPEC, l0, M.sub(SPEC, ap, sp)))
+
+    h_ext = constraints[0]
+    for c in constraints[1:]:
+        h_ext = M.add(SPEC, M.montmul(SPEC, h_ext, y_t), c)
+    return M.montmul(SPEC, h_ext, zh_inv)
