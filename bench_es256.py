@@ -29,6 +29,11 @@ def log(*a):
 
 
 def main():
+    # queue kill-switch: the session driver must find the chip idle at
+    # round end; `touch logs/STOP_QUEUE` makes queued steps no-op
+    if os.path.exists(os.path.join(os.path.dirname(__file__), "logs", "STOP_QUEUE")):
+        print("STOP_QUEUE sentinel present; skipping", file=sys.stderr)
+        return
     k = int(os.environ.get("WH2_BENCH_K", "17"))
     import hashlib
 

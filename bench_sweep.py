@@ -21,6 +21,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
+    # queue kill-switch: the session driver must find the chip idle at
+    # round end; `touch logs/STOP_QUEUE` makes queued steps no-op
+    if os.path.exists(os.path.join(os.path.dirname(__file__), "logs", "STOP_QUEUE")):
+        print("STOP_QUEUE sentinel present; skipping", file=sys.stderr)
+        return
     ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "17,16,15").split(",")]
     from webauthn_halo2_tpu.circuits.ecdsa_circuit import (
         ECDSACircuit, ECDSAInputs, auto_params,
